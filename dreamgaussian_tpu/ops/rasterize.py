@@ -1,0 +1,172 @@
+"""Differentiable Gaussian-splat rendering: projection + binning + Pallas core.
+
+The public entry point is :func:`render_gaussians`, the TPU-native
+equivalent of the reference's ``Renderer.render``
+(/root/reference/gs_renderer.py:717-822). Differences by design:
+
+- the 2D-mean gradient tap for densification is an explicit ``mean2d_tap``
+  input (grad via ``jax.grad``) instead of the reference's
+  ``retain_grad()`` trickery on a dummy tensor;
+- all shapes are static: dead gaussians are masked via ``alive`` and the
+  duplicate lists are fixed-capacity (see binning.py).
+
+The compositing core is wrapped in a ``custom_vjp`` whose backward runs
+the hand-derived Pallas kernel; gradients flow from per-duplicate features
+back to per-gaussian features through XLA's gather VJP (a segment-sum),
+then through the jnp projection math by ordinary autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .binning import TILE, bin_gaussians
+from .project import project_gaussians
+from .rasterize_pallas import (
+    FEAT_ROWS,
+    OUT_CH,
+    PIX,
+    composite_backward,
+    composite_forward,
+)
+
+
+class GaussianRender(NamedTuple):
+    image: jnp.ndarray   # [H, W, 3] (bg-blended, clamped to [0,1])
+    depth: jnp.ndarray   # [H, W]
+    alpha: jnp.ndarray   # [H, W]
+    radii: jnp.ndarray   # [N] int32 (0 => culled/invisible)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite(dup_feat, chunk_starts, n_chunks, grid_x, num_tiles, chunk):
+    return composite_forward(
+        dup_feat, chunk_starts, n_chunks,
+        grid_x=grid_x, num_tiles=num_tiles, chunk=chunk,
+    )
+
+
+def _composite_fwd(dup_feat, chunk_starts, n_chunks, grid_x, num_tiles, chunk):
+    out = composite_forward(
+        dup_feat, chunk_starts, n_chunks,
+        grid_x=grid_x, num_tiles=num_tiles, chunk=chunk,
+    )
+    return out, (dup_feat, chunk_starts, n_chunks, out)
+
+
+def _composite_bwd(grid_x, num_tiles, chunk, residuals, g_out):
+    dup_feat, chunk_starts, n_chunks, out = residuals
+    d_feat = composite_backward(
+        dup_feat, chunk_starts, n_chunks, out, g_out,
+        grid_x=grid_x, num_tiles=num_tiles, chunk=chunk,
+    )
+    zero_i = np.zeros(chunk_starts.shape, dtype=jax.dtypes.float0)
+    return d_feat, zero_i, zero_i
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+def rasterize_projected(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    conic: jnp.ndarray,
+    color: jnp.ndarray,
+    opacity: jnp.ndarray,
+    radius: jnp.ndarray,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    max_tiles: int = 64,
+    chunk: int = 128,
+):
+    """Composite already-projected gaussians into an image.
+
+    Returns (image[H,W,3] without clamp, depth[H,W], alpha[H,W]).
+    """
+    assert width % TILE == 0 and height % TILE == 0, "image size must be 16-aligned"
+    n = mean2d.shape[0]
+    grid_x = width // TILE
+    grid_y = height // TILE
+    num_tiles = grid_x * grid_y
+
+    bins = bin_gaussians(
+        mean2d, depth, radius, width, height, max_tiles=max_tiles, chunk=chunk
+    )
+
+    rows = jnp.concatenate(
+        [
+            mean2d.T.astype(jnp.float32),            # 0:2
+            conic.T.astype(jnp.float32),             # 2:5
+            color.T.astype(jnp.float32),             # 5:8
+            opacity.reshape(1, n).astype(jnp.float32),  # 8
+            depth.reshape(1, n).astype(jnp.float32),    # 9
+        ],
+        axis=0,
+    )
+    feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
+
+    dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)  # [FEAT_ROWS, K_aligned]
+    out = _composite(
+        dup_feat, bins.chunk_starts, bins.n_chunks, grid_x, num_tiles, chunk
+    )  # [T, PIX, OUT_CH]
+
+    hw = out.reshape(grid_y, grid_x, TILE, TILE, OUT_CH)
+    hw = hw.transpose(0, 2, 1, 3, 4).reshape(height, width, OUT_CH)
+    rgb = hw[..., 0:3]
+    dep = hw[..., 3]
+    t_final = hw[..., 4]
+
+    image = rgb + t_final[..., None] * bg[None, None, :]
+    alpha = 1.0 - t_final
+    return image, dep, alpha
+
+
+def render_gaussians(
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    opacity: jnp.ndarray,
+    shs: jnp.ndarray,
+    view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    campos: jnp.ndarray,
+    tanfov: jnp.ndarray,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    sh_degree: int = 0,
+    scale_modifier: float = 1.0,
+    alive: jnp.ndarray | None = None,
+    mean2d_tap: jnp.ndarray | None = None,
+    max_tiles: int = 64,
+    chunk: int = 128,
+) -> GaussianRender:
+    """Render a gaussian cloud through one camera (activated parameters).
+
+    ``mean2d_tap``: optional [N,2] zeros; its gradient is dL/d(pixel mean2d),
+    used by the adaptive density controller. Scale by (W/2, H/2) to get the
+    NDC-space magnitude the reference thresholds on
+    (/root/reference/gs_renderer.py:625-627).
+    """
+    proj = project_gaussians(
+        xyz, scale, quat, opacity, shs, view, full_proj, campos, tanfov,
+        width, height, sh_degree=sh_degree, scale_modifier=scale_modifier,
+        alive=alive,
+    )
+    mean2d = proj.mean2d if mean2d_tap is None else proj.mean2d + mean2d_tap
+    image, dep, alpha = rasterize_projected(
+        mean2d, proj.depth, proj.conic, proj.color, proj.opacity, proj.radius,
+        width, height, bg, max_tiles=max_tiles, chunk=chunk,
+    )
+    return GaussianRender(
+        image=jnp.clip(image, 0.0, 1.0),
+        depth=dep,
+        alpha=alpha,
+        radii=proj.radius,
+    )

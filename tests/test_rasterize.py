@@ -1,0 +1,206 @@
+"""Parity tests: Pallas tile rasterizer vs the dense jnp reference oracle."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamgaussian_tpu.ops.project import project_gaussians
+from dreamgaussian_tpu.ops.rasterize import rasterize_projected, render_gaussians
+from dreamgaussian_tpu.ops.rasterize_ref import composite_dense
+from dreamgaussian_tpu.ops import binning
+from dreamgaussian_tpu.utils import camera as cam
+
+
+def make_scene(n=200, seed=0, sh_degree=0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.35
+    scale = np.exp(rng.uniform(-4.2, -2.5, size=(n, 3))).astype(np.float32)
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    opacity = (1.0 / (1.0 + np.exp(-rng.normal(size=(n,))))).astype(np.float32)
+    k = (sh_degree + 1) ** 2
+    shs = rng.normal(size=(n, k, 3)).astype(np.float32) * 0.3
+    return tuple(jnp.asarray(x) for x in (xyz, scale, quat, opacity, shs))
+
+
+def make_cam(width=64, height=64, elev=15.0, azim=30.0, radius=2.0):
+    fov = math.radians(49.1)
+    pose = cam.orbit_camera(elev, azim, radius)
+    c = cam.Camera.from_pose(pose, width, height, fov, fov)
+    a = c.arrays()
+    return {k: jnp.asarray(v) for k, v in a.items()}, width, height
+
+
+def _proj(scene, ca, w, h, sh_degree=0):
+    xyz, scale, quat, opacity, shs = scene
+    return project_gaussians(
+        xyz, scale, quat, opacity, shs,
+        ca["view"], ca["full_proj"], ca["campos"], ca["tanfov"], w, h,
+        sh_degree=sh_degree,
+    )
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_image_matches_dense_reference(self, seed):
+        scene = make_scene(seed=seed)
+        ca, w, h = make_cam()
+        proj = _proj(scene, ca, w, h)
+        ref = composite_dense(proj, w, h, jnp.ones(3))
+        img, dep, alpha = rasterize_projected(
+            proj.mean2d, proj.depth, proj.conic, proj.color, proj.opacity,
+            proj.radius, w, h, jnp.ones(3), max_tiles=16, chunk=128,
+        )
+        np.testing.assert_allclose(img, ref.image, atol=2e-5)
+        np.testing.assert_allclose(dep, ref.depth, atol=2e-4)
+        np.testing.assert_allclose(alpha, ref.alpha, atol=2e-5)
+
+    def test_black_background(self):
+        scene = make_scene(seed=2)
+        ca, w, h = make_cam(azim=-120.0)
+        proj = _proj(scene, ca, w, h)
+        ref = composite_dense(proj, w, h, jnp.zeros(3))
+        img, _, _ = rasterize_projected(
+            proj.mean2d, proj.depth, proj.conic, proj.color, proj.opacity,
+            proj.radius, w, h, jnp.zeros(3), max_tiles=16,
+        )
+        np.testing.assert_allclose(img, ref.image, atol=2e-5)
+
+    def test_empty_scene(self):
+        scene = make_scene(n=8)
+        ca, w, h = make_cam()
+        proj = _proj(scene, ca, w, h)
+        dead = proj._replace(radius=jnp.zeros_like(proj.radius))
+        img, dep, alpha = rasterize_projected(
+            dead.mean2d, dead.depth, dead.conic, dead.color, dead.opacity,
+            dead.radius, w, h, jnp.ones(3), max_tiles=4,
+        )
+        np.testing.assert_allclose(img, 1.0)
+        np.testing.assert_allclose(alpha, 0.0)
+
+    def test_single_gaussian_center_alpha(self):
+        # One isotropic gaussian at the origin seen face-on: alpha at the
+        # image center approaches the gaussian's opacity.
+        xyz = jnp.zeros((1, 3))
+        scale = jnp.full((1, 3), 0.1)
+        quat = jnp.asarray([[1.0, 0, 0, 0]])
+        opacity = jnp.asarray([0.7])
+        shs = jnp.zeros((1, 1, 3))
+        ca, w, h = make_cam(elev=0.0, azim=0.0)
+        proj = project_gaussians(
+            xyz, scale, quat, opacity, shs,
+            ca["view"], ca["full_proj"], ca["campos"], ca["tanfov"], w, h,
+        )
+        _, _, alpha = rasterize_projected(
+            proj.mean2d, proj.depth, proj.conic, proj.color, proj.opacity,
+            proj.radius, w, h, jnp.ones(3), max_tiles=16,
+        )
+        # pixel grid center between pixels 31/32 -> alpha slightly below 0.7
+        assert abs(float(alpha[32, 32]) - 0.7) < 0.02
+
+
+class TestGradParity:
+    def _loss_ref(self, scene, ca, w, h, key):
+        xyz, scale, quat, opacity, shs = scene
+        proj = project_gaussians(
+            xyz, scale, quat, opacity, shs,
+            ca["view"], ca["full_proj"], ca["campos"], ca["tanfov"], w, h,
+        )
+        out = composite_dense(proj, w, h, jnp.ones(3))
+        wr, wd, wa = key
+        return (jnp.sum(out.image * wr) + jnp.sum(out.depth * wd)
+                + jnp.sum(out.alpha * wa))
+
+    def _loss_pallas(self, scene, ca, w, h, key):
+        xyz, scale, quat, opacity, shs = scene
+        proj = project_gaussians(
+            xyz, scale, quat, opacity, shs,
+            ca["view"], ca["full_proj"], ca["campos"], ca["tanfov"], w, h,
+        )
+        img, dep, alpha = rasterize_projected(
+            proj.mean2d, proj.depth, proj.conic, proj.color, proj.opacity,
+            proj.radius, w, h, jnp.ones(3), max_tiles=16,
+        )
+        wr, wd, wa = key
+        return jnp.sum(img * wr) + jnp.sum(dep * wd) + jnp.sum(alpha * wa)
+
+    def test_param_grads_match_reference(self):
+        scene = make_scene(n=120, seed=3)
+        ca, w, h = make_cam()
+        rng = np.random.default_rng(7)
+        key = (
+            jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(h, w)).astype(np.float32)) * 0.1,
+            jnp.asarray(rng.normal(size=(h, w)).astype(np.float32)),
+        )
+        g_ref = jax.grad(lambda s: self._loss_ref(s, ca, w, h, key))(scene)
+        g_pal = jax.grad(lambda s: self._loss_pallas(s, ca, w, h, key))(scene)
+        names = ["xyz", "scale", "quat", "opacity", "shs"]
+        for name, a, b in zip(names, g_ref, g_pal):
+            a, b = np.asarray(a), np.asarray(b)
+            scale_mag = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(
+                a, b, atol=3e-4 * scale_mag, rtol=2e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_reference_grads_numerical(self):
+        # Validate the oracle itself with finite differences (tiny scene).
+        from jax.test_util import check_grads
+
+        scene = make_scene(n=12, seed=4)
+        ca, w, h = make_cam(width=32, height=32)
+        rng = np.random.default_rng(8)
+        key = (
+            jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+            jnp.zeros((h, w)),
+            jnp.zeros((h, w)),
+        )
+        xyz, scale, quat, opacity, shs = scene
+        check_grads(
+            lambda o, s: self._loss_ref((xyz, scale, quat, o, s), ca, w, h, key),
+            (opacity, shs), order=1, modes=["rev"], atol=5e-2, rtol=5e-2,
+        )
+
+    def test_mean2d_tap(self):
+        scene = make_scene(n=64, seed=5)
+        ca, w, h = make_cam()
+        xyz, scale, quat, opacity, shs = scene
+        tap = jnp.zeros((64, 2))
+
+        def loss(tap):
+            out = render_gaussians(
+                xyz, scale, quat, opacity, shs,
+                ca["view"], ca["full_proj"], ca["campos"], ca["tanfov"],
+                w, h, jnp.ones(3), mean2d_tap=tap, max_tiles=16,
+            )
+            return jnp.sum(out.image ** 2)
+
+        g = jax.grad(loss)(tap)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestBinning:
+    def test_counts_and_layout(self):
+        scene = make_scene(n=50, seed=6)
+        ca, w, h = make_cam()
+        proj = _proj(scene, ca, w, h)
+        bins = binning.bin_gaussians(
+            proj.mean2d, proj.depth, proj.radius, w, h, max_tiles=16, chunk=128
+        )
+        n = 50
+        dup = np.asarray(bins.dup_map)
+        cs = np.asarray(bins.chunk_starts)
+        nc = np.asarray(bins.n_chunks)
+        # every chunk range holds only valid indices or the sentinel
+        assert dup.min() >= 0 and dup.max() <= n
+        # per-tile segments are disjoint and chunk-aligned
+        for t in range(len(cs)):
+            seg = dup[cs[t] * 128:(cs[t] + nc[t]) * 128]
+            real = seg[seg < n]
+            # real entries must be depth-sorted within the tile
+            d = np.asarray(proj.depth)[real]
+            assert (np.diff(d) >= -1e-6).all()

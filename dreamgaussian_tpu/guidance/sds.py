@@ -1,0 +1,383 @@
+"""Score Distillation Sampling guidance (SD / Zero123 / MVDream / ImageDream).
+
+Re-implements the reference guidance modules' ``train_step``/``refine``
+math in traceable jnp so the whole SDS computation fuses into the jitted
+train step:
+
+- Stable Diffusion SDS (/root/reference/guidance/sd_utils.py:138-207):
+  CFG 100, w = 1 - alpha_t, directional prompt selection by azimuth,
+  timestep annealing t = (1-step_ratio)*N clipped to [0.02N, 0.98N],
+  loss = 0.5*||latents - sg(latents - w(eps_hat - eps))||^2_sum / B.
+- Zero123 (/root/reference/guidance/zero123_utils.py:120-171): CFG 5,
+  camera-conditioned tokens through a linear projection, 8-ch UNet input
+  (noisy latent ⊕ reference VAE latent), unscaled-sum loss.
+- MVDream/ImageDream (/root/reference/guidance/mvdream_utils.py:94-190,
+  imagedream_utils.py:129-214): 4(+1)-view joint UNet, shared timestep,
+  NO w weighting, camera = normalized flattened c2w (16-dim).
+
+The UNet+VAE evaluations run under ``stop_gradient`` exactly where the
+reference uses ``no_grad``; gradients flow to the rendered images only
+through the VAE encode of the current render (and for as_latent mode,
+directly).
+
+Guidance-fn contract (consumed by train/stage1.py and parallel/dp.py):
+``fn(images [B,H,W,3] in [0,1], cond dict, step_ratio, key) -> scalar``,
+where the scalar is the mean-over-views loss in the reference's units.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .scheduler import DDIMScheduler
+
+
+class Backbone(NamedTuple):
+    """Frozen diffusion backbone handles (UNet + VAE applies are closures
+    over their frozen params)."""
+
+    unet_apply: Callable  # (latents NHWC, t [B], context [B,L,D]) -> eps NHWC
+    vae_encode: Callable  # (imgs NHWC in [-1,1]) -> latents (scaled)
+    vae_decode: Callable  # (latents) -> imgs NHWC in [-1,1]
+    scheduler: DDIMScheduler
+    latent_size: int      # latent spatial size for this guidance's res
+
+
+def _resize(images, size):
+    b = images.shape[0]
+    return jax.image.resize(
+        images, (b, size, size, images.shape[-1]), "bilinear"
+    )
+
+
+def sds_grad_loss(latents, grad, divide_by_batch: bool):
+    """loss = 0.5*||latents - sg(latents - grad)||^2_sum (/ B)."""
+    target = jax.lax.stop_gradient(latents - grad)
+    loss = 0.5 * jnp.sum((latents - target) ** 2)
+    if divide_by_batch:
+        loss = loss / latents.shape[0]
+    return loss
+
+
+def anneal_t(step_ratio, num_train: int, t_min: int, t_max: int):
+    t = jnp.round((1.0 - step_ratio) * num_train)
+    return jnp.clip(t, t_min, t_max).astype(jnp.int32)
+
+
+class StableDiffusionGuidance:
+    """SD 2.1 SDS. ``embeddings``: dict of [77, D] arrays with keys
+    'pos', 'neg', 'front', 'side', 'back' (precomputed text embeds)."""
+
+    def __init__(
+        self,
+        backbone: Backbone,
+        embeddings: dict,
+        guidance_scale: float = 100.0,
+        t_range=(0.02, 0.98),
+        image_size: int = 512,
+        anneal: bool = True,
+    ):
+        self.backbone = backbone
+        self.num_train = backbone.scheduler.num_train_timesteps
+        self.t_min = int(self.num_train * t_range[0])
+        self.t_max = int(self.num_train * t_range[1])
+        self.guidance_scale = guidance_scale
+        self.image_size = image_size
+        self.anneal = anneal
+        self.emb = {k: jnp.asarray(v) for k, v in embeddings.items()}
+
+    def _directional_embeds(self, hors, batch_size):
+        """Per-view embedding by azimuth: |h|<60 front, <120 side, else back
+        (/root/reference/guidance/sd_utils.py:181-186)."""
+        if "front" not in self.emb:
+            return jnp.broadcast_to(
+                self.emb["pos"][None], (batch_size,) + self.emb["pos"].shape
+            )
+        stack = jnp.stack([self.emb["front"], self.emb["side"], self.emb["back"]])
+        ah = jnp.abs(hors)
+        idx = jnp.where(ah < 60, 0, jnp.where(ah < 120, 1, 2))
+        return stack[idx]
+
+    def guidance_fn(self):
+        bk = self.backbone
+        scheduler = bk.scheduler
+        alphas = scheduler.alphas_cumprod
+
+        def fn(images, cond, step_ratio, key):
+            b = images.shape[0]
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = bk.vae_encode(imgs)
+
+            k_t, k_n = jax.random.split(key)
+            if self.anneal:
+                t = anneal_t(step_ratio, self.num_train, self.t_min, self.t_max)
+            else:
+                t = jax.random.randint(k_t, (), self.t_min, self.t_max + 1)
+            t_b = jnp.full((b,), t, jnp.int32)
+            noise = jax.random.normal(k_n, latents.shape)
+            latents_noisy = scheduler.add_noise(
+                jax.lax.stop_gradient(latents), noise, t_b
+            )
+
+            pos = self._directional_embeds(cond.get("hors", jnp.zeros(b)), b)
+            neg = jnp.broadcast_to(
+                self.emb["neg"][None], (b,) + self.emb["neg"].shape
+            )
+            x_in = jnp.concatenate([latents_noisy] * 2)
+            t_in = jnp.concatenate([t_b] * 2)
+            ctx = jnp.concatenate([pos, neg])
+            eps = jax.lax.stop_gradient(bk.unet_apply(x_in, t_in, ctx))
+            eps_cond, eps_uncond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
+
+            w = (1.0 - alphas[t_b]).reshape(b, 1, 1, 1)
+            grad = jnp.nan_to_num(w * (eps_hat - noise))
+            return sds_grad_loss(latents, grad, divide_by_batch=True)
+
+        return fn
+
+    def refine(self, images, key, strength=0.8, steps=50,
+               guidance_scale=100.0, hors=None):
+        """img2img refinement loop (sd_utils.py:107-136). Host-level loop,
+        no grad; returns images in [0,1]."""
+        bk = self.backbone
+        sch = bk.scheduler
+        b = images.shape[0]
+        ts = sch.set_timesteps(steps)
+        init_step = int(steps * strength)
+        imgs = _resize(jnp.asarray(images), self.image_size) * 2.0 - 1.0
+        k_n, key = jax.random.split(key)
+        latents = bk.vae_encode(imgs)
+        noise = jax.random.normal(k_n, latents.shape)
+        t0 = jnp.full((b,), int(ts[init_step]), jnp.int32)
+        latents = sch.add_noise(latents, noise, t0)
+
+        pos = self._directional_embeds(
+            jnp.zeros(b) if hors is None else jnp.asarray(hors), b
+        )
+        neg = jnp.broadcast_to(self.emb["neg"][None], (b,) + self.emb["neg"].shape)
+        ctx = jnp.concatenate([pos, neg])
+        for t in ts[init_step:]:
+            t_b = jnp.full((b,), int(t), jnp.int32)
+            x_in = jnp.concatenate([latents] * 2)
+            eps = bk.unet_apply(x_in, jnp.concatenate([t_b] * 2), ctx)
+            eps_cond, eps_uncond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+            latents = sch.step(eps_hat, int(t), latents)
+        return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def zero123_cam_embed(vers, hors, radii, default_elevation=0.0,
+                      stable: bool = False):
+    """[B,4] camera conditioning (zero123_utils.py:66-73)."""
+    d2r = jnp.pi / 180.0
+    if stable:
+        last = jnp.full_like(vers, d2r * (90.0 + default_elevation))
+    else:
+        last = radii
+    return jnp.stack(
+        [d2r * vers, jnp.sin(d2r * hors), jnp.cos(d2r * hors), last], axis=-1
+    )
+
+
+class Zero123Guidance:
+    """Image-conditioned novel-view SDS.
+
+    ``clip_emb``: [1, 768] CLIP image embedding of the reference view.
+    ``vae_latent``: [1, h, w, 4] UNSCALED posterior mean of the reference
+    view. ``cam_proj``: (w [772, 768], b [768]) linear projection params.
+    """
+
+    def __init__(
+        self,
+        backbone: Backbone,
+        clip_emb,
+        vae_latent,
+        cam_proj,
+        guidance_scale: float = 5.0,
+        t_range=(0.02, 0.98),
+        image_size: int = 256,
+        stable: bool = False,
+        default_elevation: float = 0.0,
+        anneal: bool = True,
+    ):
+        self.backbone = backbone
+        self.num_train = backbone.scheduler.num_train_timesteps
+        self.t_min = int(self.num_train * t_range[0])
+        self.t_max = int(self.num_train * t_range[1])
+        self.guidance_scale = guidance_scale
+        self.image_size = image_size
+        self.anneal = anneal
+        self.stable = stable
+        self.default_elevation = default_elevation
+        self.clip_emb = jnp.asarray(clip_emb)
+        self.vae_latent = jnp.asarray(vae_latent)
+        self.cam_proj = jax.tree.map(jnp.asarray, cam_proj)
+
+    def _cond_tokens(self, vers, hors, radii, b):
+        T = zero123_cam_embed(
+            vers, hors, radii, self.default_elevation, self.stable
+        )[:, None, :]  # [B,1,4]
+        clip = jnp.broadcast_to(self.clip_emb[None], (b, 1, self.clip_emb.shape[-1]))
+        cc = jnp.concatenate([clip, T], axis=-1)  # [B,1,772]
+        w, bias = self.cam_proj
+        return cc @ w + bias  # [B,1,768]
+
+    def guidance_fn(self):
+        bk = self.backbone
+        sch = bk.scheduler
+        alphas = sch.alphas_cumprod
+
+        def fn(images, cond, step_ratio, key):
+            b = images.shape[0]
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = bk.vae_encode(imgs)
+
+            k_t, k_n = jax.random.split(key)
+            if self.anneal:
+                t = anneal_t(step_ratio, self.num_train, self.t_min, self.t_max)
+            else:
+                t = jax.random.randint(k_t, (), self.t_min, self.t_max + 1)
+            t_b = jnp.full((b,), t, jnp.int32)
+            noise = jax.random.normal(k_n, latents.shape)
+            latents_noisy = sch.add_noise(
+                jax.lax.stop_gradient(latents), noise, t_b
+            )
+
+            cc = self._cond_tokens(
+                cond["vers"], cond["hors"], cond["radii"], b
+            )
+            ctx = jnp.concatenate([cc, jnp.zeros_like(cc)])
+            vae_emb = jnp.broadcast_to(
+                self.vae_latent, (b,) + self.vae_latent.shape[1:]
+            )
+            vae_in = jnp.concatenate([vae_emb, jnp.zeros_like(vae_emb)])
+            x_in = jnp.concatenate([latents_noisy] * 2)
+            x_in = jnp.concatenate([x_in, vae_in], axis=-1)  # 8-channel
+            t_in = jnp.concatenate([t_b] * 2)
+
+            eps = jax.lax.stop_gradient(bk.unet_apply(x_in, t_in, ctx))
+            eps_cond, eps_uncond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
+
+            w = (1.0 - alphas[t_b]).reshape(b, 1, 1, 1)
+            grad = jnp.nan_to_num(w * (eps_hat - noise))
+            # Reference zero123 loss is sum WITHOUT /B (B=1 in its use);
+            # divide here for the mean-over-views contract and scale back
+            # in the trainer weight if exact parity at B>1 is wanted.
+            return sds_grad_loss(latents, grad, divide_by_batch=True) * images.shape[0]
+
+        return fn
+
+    def refine(self, images, vers, hors, radii, key, strength=0.8, steps=50,
+               guidance_scale=5.0):
+        bk = self.backbone
+        sch = bk.scheduler
+        b = images.shape[0]
+        ts = sch.set_timesteps(steps)
+        init_step = int(steps * strength)
+        imgs = _resize(jnp.asarray(images), self.image_size) * 2.0 - 1.0
+        latents = bk.vae_encode(imgs)
+        k_n, key = jax.random.split(key)
+        t0 = jnp.full((b,), int(ts[init_step]), jnp.int32)
+        latents = sch.add_noise(latents, jax.random.normal(k_n, latents.shape), t0)
+
+        cc = self._cond_tokens(
+            jnp.asarray(vers, jnp.float32), jnp.asarray(hors, jnp.float32),
+            jnp.asarray(radii, jnp.float32), b,
+        )
+        ctx = jnp.concatenate([cc, jnp.zeros_like(cc)])
+        vae_emb = jnp.broadcast_to(self.vae_latent, (b,) + self.vae_latent.shape[1:])
+        vae_in = jnp.concatenate([vae_emb, jnp.zeros_like(vae_emb)])
+        for t in ts[init_step:]:
+            t_b = jnp.full((b,), int(t), jnp.int32)
+            x_in = jnp.concatenate([jnp.concatenate([latents] * 2), vae_in],
+                                   axis=-1)
+            eps = bk.unet_apply(x_in, jnp.concatenate([t_b] * 2), ctx)
+            eps_cond, eps_uncond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+            latents = sch.step(eps_hat, int(t), latents)
+        return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def mvdream_camera(poses):
+    """[B,4,4] OpenGL c2w -> normalized 16-dim blender-convention camera
+    (/root/reference/guidance/mvdream_utils.py:125-128: swap rows 1 and 2,
+    negate the new row 1, then normalize the translation)."""
+    cam = jnp.asarray(poses, jnp.float32)
+    cam = cam[:, jnp.array([0, 2, 1, 3])]
+    cam = cam.at[:, 1].multiply(-1.0)
+    t = cam[:, :3, 3]
+    cam = cam.at[:, :3, 3].set(
+        t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+    )
+    return cam.reshape(cam.shape[0], 16)
+
+
+class MVDreamGuidance:
+    """4-view joint SDS (no w(t) weighting; camera embed added to temb)."""
+
+    def __init__(
+        self,
+        backbone: Backbone,
+        embeddings: dict,
+        camera_embed: Callable,  # (cam16 [B,16]) -> [B, temb_dim] added ctx
+        guidance_scale: float = 100.0,
+        t_range=(0.02, 0.98),
+        image_size: int = 256,
+        num_views: int = 4,
+        anneal: bool = True,
+    ):
+        self.backbone = backbone
+        self.num_train = backbone.scheduler.num_train_timesteps
+        self.t_min = int(self.num_train * t_range[0])
+        self.t_max = int(self.num_train * t_range[1])
+        self.guidance_scale = guidance_scale
+        self.image_size = image_size
+        self.anneal = anneal
+        self.num_views = num_views
+        self.camera_embed = camera_embed
+        self.emb = {k: jnp.asarray(v) for k, v in embeddings.items()}
+
+    def guidance_fn(self):
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, step_ratio, key):
+            b = images.shape[0]  # = num_views * real_batch
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = bk.vae_encode(imgs)
+
+            k_t, k_n = jax.random.split(key)
+            # One shared t per 4-view group (mvdream_utils.py:121).
+            if self.anneal:
+                t = anneal_t(step_ratio, self.num_train, self.t_min, self.t_max)
+            else:
+                t = jax.random.randint(k_t, (), self.t_min, self.t_max + 1)
+            t_b = jnp.full((b,), t, jnp.int32)
+            noise = jax.random.normal(k_n, latents.shape)
+            latents_noisy = sch.add_noise(
+                jax.lax.stop_gradient(latents), noise, t_b
+            )
+
+            camera = self.camera_embed(mvdream_camera(cond["poses"]))
+            pos = jnp.broadcast_to(self.emb["pos"][None], (b,) + self.emb["pos"].shape)
+            neg = jnp.broadcast_to(self.emb["neg"][None], (b,) + self.emb["neg"].shape)
+            x_in = jnp.concatenate([latents_noisy] * 2)
+            t_in = jnp.concatenate([t_b] * 2)
+            ctx = jnp.concatenate([pos, neg])
+            cam_in = jnp.concatenate([camera] * 2)
+            eps = jax.lax.stop_gradient(
+                bk.unet_apply(x_in, t_in, ctx, camera=cam_in)
+            )
+            eps_cond, eps_uncond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
+
+            grad = jnp.nan_to_num(eps_hat - noise)  # NO w(t)
+            return sds_grad_loss(latents, grad, divide_by_batch=True)
+
+        return fn

@@ -1,0 +1,154 @@
+"""Data-parallel stage-1 training over a ``jax.sharding.Mesh``.
+
+The reference trains on exactly one GPU (no distributed code exists
+anywhere in it — /root/reference/scripts/run.sh:1 pins a single device).
+This module is the TPU-native scaling layer mandated by the design
+(SURVEY.md §2.3): SDS **views** are sharded along a ``data`` mesh axis —
+each chip renders its own novel-view cameras and evaluates the guidance
+loss for them — and the Gaussian-parameter gradients are combined with a
+single ``psum`` over ICI. Parameters, Adam moments, and the density
+controller are replicated: every device computes identical updates, so no
+parameter gather is ever needed and densify decisions stay deterministic
+across the mesh (the psum'd densification stats are identical everywhere).
+
+Division of labor vs the reference semantics:
+
+- known-view loss: computed on every device, divided by the device count,
+  so the psum reproduces the single-device gradient exactly;
+- densification stats: accumulated from ALL novel views (psum over the
+  mesh) instead of only the last one — strictly more signal than the
+  reference's last-view quirk, and the natural formulation once views are
+  sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rasterize import render_gaussians
+from ..scene import accumulate_stats, adam_update
+
+
+def make_data_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def _render_one(params, cam_arrays, bg, width, height, sh_degree, alive,
+                tap=None, max_tiles=32, chunk=128):
+    act_scale = jnp.exp(params["scaling"])
+    act_op = jax.nn.sigmoid(params["opacity"][:, 0])
+    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    return render_gaussians(
+        params["xyz"], act_scale, params["rotation"], act_op, shs,
+        cam_arrays["view"], cam_arrays["full_proj"], cam_arrays["campos"],
+        cam_arrays["tanfov"], width, height, bg,
+        sh_degree=sh_degree, alive=alive, mean2d_tap=tap,
+        max_tiles=max_tiles, chunk=chunk,
+    )
+
+
+def make_dp_train_step(
+    mesh: Mesh,
+    *,
+    novel_size: int,
+    ref_size: int,
+    sh_degree: int,
+    views_per_device: int,
+    use_known_view: bool,
+    warmup_rgb_loss: bool,
+    lr_schedules: dict,
+    guidance_fns: tuple = (),
+    max_tiles: int = 32,
+    chunk: int = 128,
+) -> Callable:
+    """Jitted multi-chip train step.
+
+    Expects novel cameras stacked as [n_devices * views_per_device, ...]
+    (sharded over 'data'); params/adam/aux replicated. Returns
+    (params, adam, aux, loss) with identical replicated values.
+    """
+    n_dev = mesh.devices.size
+
+    def local_loss_fn(params, tap, step, known_cams, novel_cams, bg,
+                      ref_rgb, ref_mask, key, cond, alive):
+        step_ratio = jnp.minimum(1.0, step / lr_schedules["total_iters"])
+        w = step_ratio if warmup_rgb_loss else 1.0
+        loss = 0.0
+        if use_known_view:
+            out = _render_one(
+                params, known_cams, jnp.ones(3), ref_size, ref_size,
+                sh_degree, alive, max_tiles=max_tiles, chunk=chunk,
+            )
+            known = (
+                10000.0 * w * jnp.mean((out.image - ref_rgb) ** 2)
+                + 1000.0 * w * jnp.mean((out.alpha - ref_mask) ** 2)
+            )
+            loss += known / n_dev
+        images = []
+        radii_sum = jnp.zeros((params["xyz"].shape[0],), jnp.int32)
+        for b in range(views_per_device):
+            cam_b = {k: v[b] for k, v in novel_cams.items()}
+            out = _render_one(
+                params, cam_b, bg, novel_size, novel_size, sh_degree, alive,
+                tap=tap, max_tiles=max_tiles, chunk=chunk,
+            )
+            images.append(out.image)
+            radii_sum = jnp.maximum(radii_sum, out.radii)
+        images = jnp.stack(images)
+        # Guidance contract: fn returns the MEAN loss over the views given.
+        # psum of per-device means / n_dev == the global mean a single
+        # device would compute over all views.
+        for weight, fn in guidance_fns:
+            loss += weight * fn(images, cond, step_ratio, key) / n_dev
+        return loss, radii_sum
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("data"), P(), P(), P(), P(),
+                  P("data")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def sharded_step(params, adam, aux, step, known_cams, novel_cams, bg,
+                     ref_rgb, ref_mask, key, cond):
+        tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
+        grad_fn = jax.value_and_grad(local_loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, radii), (grads, tap_grad) = grad_fn(
+            params, tap, step, known_cams, novel_cams, bg, ref_rgb, ref_mask,
+            key, cond, aux.alive,
+        )
+        # One collective for everything: grads, loss, densify stats.
+        grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
+        grads = jax.lax.psum(grads, "data")
+        loss = jax.lax.psum(loss, "data")
+        tap_grad = jax.lax.psum(jnp.nan_to_num(tap_grad), "data")
+        radii = jax.lax.pmax(radii, "data")
+
+        lrs = {
+            "xyz": lr_schedules["xyz"](step),
+            "f_dc": lr_schedules["f_dc"],
+            "f_rest": lr_schedules["f_rest"],
+            "opacity": lr_schedules["opacity"],
+            "scaling": lr_schedules["scaling"],
+            "rotation": lr_schedules["rotation"],
+        }
+        params, adam = adam_update(params, grads, adam, lrs)
+        aux = accumulate_stats(aux, tap_grad * (novel_size / 2.0), radii)
+        return params, adam, aux, loss
+
+    return jax.jit(sharded_step)
+
+
+def shard_cameras(mesh: Mesh, cams: dict) -> dict:
+    """Device-put stacked camera arrays with the leading axis on 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in cams.items()}

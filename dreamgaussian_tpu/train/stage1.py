@@ -1,0 +1,374 @@
+"""Stage-1 trainer: Gaussian-splat optimization with SDS guidance.
+
+TPU-native re-architecture of the reference training loop
+(/root/reference/main.py:182-307). Semantics replicated:
+
+- known-view loss = 10000*w*mse(image, ref_rgb) + 1000*w*mse(alpha, ref_mask)
+  with w = step_ratio when ``warmup_rgb_loss`` else 1;
+- novel-view resolution ladder 128/256/512 at step_ratio 0.3/0.6 breakpoints;
+- orbit sampling ver ~ U[min_ver, max_ver), hor ~ U[-180, 180), radius offset
+  0, elevation-shifted and clamped to +-80 absolute;
+- random white/black background per iteration (invert_bg_prob);
+- densification stats are taken from the LAST novel view rendered in the
+  iteration (the reference reads ``out`` after its batch loop,
+  /root/reference/main.py:279-281), with the mean2D gradient scaled by
+  (W/2, H/2) to match what the CUDA rasterizer reports;
+- densify/prune every ``densification_interval`` inside
+  [density_start_iter, density_end_iter], opacity reset every
+  ``opacity_reset_interval``;
+- xyz LR follows the exponential schedule with spatial_lr_scale=10 for
+  random init (/root/reference/gs_renderer.py:356-382, main :694-703).
+
+TPU-first differences: the whole iteration — renders, losses, gradient,
+Adam update, stat accumulation — is ONE jitted function per novel-view
+resolution (3 compiles for the ladder); densify/prune is a second jitted
+function at fixed capacity; the host loop only samples cameras (numpy RNG,
+like the reference) and sequences jit calls.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rasterize import render_gaussians
+from ..scene import (
+    accumulate_stats,
+    adam_init,
+    adam_update,
+    densify_and_prune,
+    expon_lr,
+    init_random,
+    load_ply,
+    num_alive,
+    prune_only,
+    reset_opacity,
+    save_ply,
+)
+from ..utils.camera import Camera, orbit_camera, stack_cameras
+
+# Guidance interface: callable (images [B,H,W,3] f32 in [0,1], cond dict,
+# step_ratio scalar, key) -> scalar loss, differentiable w.r.t. images.
+GuidanceFn = Callable[..., jnp.ndarray]
+
+
+def _render_one(params, cam_arrays, bg, width, height, sh_degree, alive,
+                tap=None, max_tiles=32, chunk=128):
+    act_scale = jnp.exp(params["scaling"])
+    act_op = jax.nn.sigmoid(params["opacity"][:, 0])
+    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    return render_gaussians(
+        params["xyz"], act_scale, params["rotation"], act_op, shs,
+        cam_arrays["view"], cam_arrays["full_proj"], cam_arrays["campos"],
+        cam_arrays["tanfov"], width, height, bg,
+        sh_degree=sh_degree, alive=alive, mean2d_tap=tap,
+        max_tiles=max_tiles, chunk=chunk,
+    )
+
+
+def make_train_step(
+    *,
+    novel_size: int,
+    n_novel: int,
+    ref_size: int,
+    sh_degree: int,
+    use_known_view: bool,
+    warmup_rgb_loss: bool,
+    lr_schedules: dict,
+    guidance_fns: tuple = (),
+    max_tiles: int = 32,
+    chunk: int = 128,
+):
+    """Build the jitted train step for one novel-view resolution.
+
+    guidance_fns: tuple of (weight, fn) pairs; each fn is traced into the
+    step. Returns step_fn(params, adam, aux, step, known_cams, novel_cams,
+    bg, ref_rgb, ref_mask, key, cond) -> (params, adam, aux, metrics).
+    """
+
+    def loss_fn(params, tap, step, known_cams, novel_cams, bg, ref_rgb,
+                ref_mask, key, cond, alive):
+        step_ratio = jnp.minimum(1.0, step / lr_schedules["total_iters"])
+        w = step_ratio if warmup_rgb_loss else 1.0
+        loss = 0.0
+        if use_known_view:
+            out = _render_one(
+                params, known_cams, jnp.ones(3), ref_size, ref_size,
+                sh_degree, alive, max_tiles=max_tiles, chunk=chunk,
+            )
+            loss += 10000.0 * w * jnp.mean((out.image - ref_rgb) ** 2)
+            loss += 1000.0 * w * jnp.mean((out.alpha - ref_mask) ** 2)
+
+        images = []
+        last = None
+        for b in range(n_novel):
+            cam_b = {k: v[b] for k, v in novel_cams.items()}
+            t = tap if b == n_novel - 1 else None
+            last = _render_one(
+                params, cam_b, bg, novel_size, novel_size, sh_degree, alive,
+                tap=t, max_tiles=max_tiles, chunk=chunk,
+            )
+            images.append(last.image)
+        images = jnp.stack(images) if images else jnp.zeros((0,))
+
+        for weight, fn in guidance_fns:
+            loss += weight * fn(images, cond, step_ratio, key)
+        return loss, (last.radii if last is not None else None)
+
+    @jax.jit
+    def step_fn(params, adam, aux, step, known_cams, novel_cams, bg,
+                ref_rgb, ref_mask, key, cond):
+        tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, radii), (grads, tap_grad) = grad_fn(
+            params, tap, step, known_cams, novel_cams, bg, ref_rgb,
+            ref_mask, key, cond, aux.alive,
+        )
+        grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
+
+        lrs = {
+            "xyz": lr_schedules["xyz"](step),
+            "f_dc": lr_schedules["f_dc"],
+            "f_rest": lr_schedules["f_rest"],
+            "opacity": lr_schedules["opacity"],
+            "scaling": lr_schedules["scaling"],
+            "rotation": lr_schedules["rotation"],
+        }
+        params, adam = adam_update(params, grads, adam, lrs)
+
+        if radii is not None:
+            # CUDA reports dL/dmean2D in half-image units.
+            scaled = jnp.nan_to_num(tap_grad) * (novel_size / 2.0)
+            aux = accumulate_stats(aux, scaled, radii)
+        return params, adam, aux, loss
+
+    return step_fn
+
+
+class Stage1Trainer:
+    """Headless stage-1 optimization (GUI-free equivalent of main.py GUI)."""
+
+    def __init__(
+        self,
+        opt: Any,
+        ref_rgb: np.ndarray | None = None,
+        ref_mask: np.ndarray | None = None,
+        guidance_fns: tuple = (),
+        cond: dict | None = None,
+        capacity: int = 16384,
+        seed: int = 0,
+    ):
+        """opt: config namespace with the reference's image.yaml keys."""
+        self.opt = opt
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.capacity = capacity
+        self.guidance_fns = guidance_fns
+        self.cond = cond or {}
+
+        load = opt.get("load", None)
+        if load:
+            self.params, self.aux, self.sh_degree = load_ply(load, capacity)
+            self.spatial_lr_scale = 1.0
+        else:
+            self.key, k = jax.random.split(self.key)
+            self.params, self.aux = init_random(
+                k, num_pts=opt.get("num_pts", 5000), capacity=capacity,
+                radius=0.5, sh_degree=opt.get("sh_degree", 0),
+            )
+            self.sh_degree = opt.get("sh_degree", 0)
+            self.spatial_lr_scale = 10.0
+        self.adam = adam_init(self.params)
+
+        self.ref_size = opt.get("ref_size", 256)
+        self.ref_rgb = (
+            jnp.asarray(ref_rgb, jnp.float32) if ref_rgb is not None else None
+        )
+        self.ref_mask = (
+            jnp.asarray(ref_mask, jnp.float32) if ref_mask is not None else None
+        )
+        self.use_known_view = ref_rgb is not None and not opt.get("imagedream", False)
+
+        fovy = np.radians(opt.get("fovy", 49.1))
+        self.fovy = fovy
+        self.fovx = fovy  # square renders; reference uses fovx=fovy here
+        self.radius = opt.get("radius", 2.0)
+        self.elevation = opt.get("elevation", 0.0)
+        pose = orbit_camera(self.elevation, 0.0, self.radius)
+        self.fixed_cam = Camera.from_pose(
+            pose, self.ref_size, self.ref_size, fovy, fovy
+        )
+
+        self.n_views = 4 if (opt.get("mvdream", False) or opt.get("imagedream", False)) else 1
+        self.batch_size = opt.get("batch_size", 1)
+
+        self.lr_schedules = {
+            "total_iters": float(opt.get("iters", 500)),
+            "xyz": expon_lr(
+                opt.get("position_lr_init", 1e-3) * self.spatial_lr_scale,
+                opt.get("position_lr_final", 2e-5) * self.spatial_lr_scale,
+                lr_delay_mult=opt.get("position_lr_delay_mult", 0.02),
+                max_steps=opt.get("position_lr_max_steps", 500),
+            ),
+            "f_dc": opt.get("feature_lr", 0.01),
+            "f_rest": opt.get("feature_lr", 0.01) / 20.0,
+            "opacity": opt.get("opacity_lr", 0.05),
+            "scaling": opt.get("scaling_lr", 5e-3),
+            "rotation": opt.get("rotation_lr", 5e-3),
+        }
+
+        self._step_fns: dict[int, Callable] = {}
+        self._densify = jax.jit(
+            functools.partial(
+                densify_and_prune,
+                grad_threshold=opt.get("densify_grad_threshold", 0.01),
+                min_opacity=0.01,
+                extent=4.0,
+                percent_dense=opt.get("percent_dense", 0.01),
+            )
+        )
+        self._reset_opacity = jax.jit(reset_opacity)
+        self._prune_final = jax.jit(
+            functools.partial(
+                prune_only, min_opacity=0.01, extent=1.0, max_screen_size=1.0
+            )
+        )
+
+    # -- camera sampling (host-side numpy, mirroring the reference RNG use) --
+
+    def _sample_novel_cameras(self, size: int):
+        opt = self.opt
+        min_ver = max(
+            min(opt.get("min_ver", -30), opt.get("min_ver", -30) - self.elevation),
+            -80 - self.elevation,
+        )
+        max_ver = min(
+            max(opt.get("max_ver", 30), opt.get("max_ver", 30) - self.elevation),
+            80 - self.elevation,
+        )
+        cams, vers, hors = [], [], []
+        for _ in range(self.batch_size):
+            ver = int(self.rng.integers(min_ver, max_ver))
+            hor = int(self.rng.integers(-180, 180))
+            vers.append(ver)
+            hors.append(hor)
+            pose = orbit_camera(self.elevation + ver, hor, self.radius)
+            cams.append(Camera.from_pose(pose, size, size, self.fovy, self.fovx))
+            if self.n_views == 4:
+                for i in range(1, 4):
+                    pose_i = orbit_camera(
+                        self.elevation + ver, hor + 90 * i, self.radius
+                    )
+                    cams.append(
+                        Camera.from_pose(pose_i, size, size, self.fovy, self.fovx)
+                    )
+        return cams, np.array(vers, np.float32), np.array(hors, np.float32)
+
+    def _get_step_fn(self, size: int):
+        if size not in self._step_fns:
+            self._step_fns[size] = make_train_step(
+                novel_size=size,
+                n_novel=self.batch_size * self.n_views,
+                ref_size=self.ref_size,
+                sh_degree=self.sh_degree,
+                use_known_view=self.use_known_view,
+                warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
+                lr_schedules=self.lr_schedules,
+                guidance_fns=self.guidance_fns,
+            )
+        return self._step_fns[size]
+
+    def train_step(self) -> float:
+        opt = self.opt
+        self.step += 1
+        step_ratio = min(1.0, self.step / opt.get("iters", 500))
+        # Resolution ladder (/root/reference/main.py:211); configurable so
+        # tests can run tiny. Must be 16-aligned for the tile rasterizer.
+        ladder = opt.get("novel_resolutions", [128, 256, 512])
+        size = ladder[0] if step_ratio < 0.3 else (
+            ladder[1] if step_ratio < 0.6 else ladder[2]
+        )
+
+        cams, vers, hors = self._sample_novel_cameras(size)
+        novel = {k: jnp.asarray(v) for k, v in stack_cameras(cams).items()}
+        known = {k: jnp.asarray(v) for k, v in self.fixed_cam.arrays().items()}
+        bg = jnp.asarray(
+            [1.0, 1.0, 1.0]
+            if self.rng.random() > opt.get("invert_bg_prob", 0.5)
+            else [0.0, 0.0, 0.0],
+            jnp.float32,
+        )
+        self.key, k_step = jax.random.split(self.key)
+
+        cond = dict(self.cond)
+        cond["vers"] = jnp.asarray(vers)
+        cond["hors"] = jnp.asarray(hors)
+        cond["radii"] = jnp.zeros_like(jnp.asarray(vers))
+
+        ref_rgb = (
+            self.ref_rgb if self.ref_rgb is not None
+            else jnp.zeros((self.ref_size, self.ref_size, 3))
+        )
+        ref_mask = (
+            self.ref_mask if self.ref_mask is not None
+            else jnp.zeros((self.ref_size, self.ref_size))
+        )
+
+        step_fn = self._get_step_fn(size)
+        self.params, self.adam, self.aux, loss = step_fn(
+            self.params, self.adam, self.aux, jnp.float32(self.step),
+            known, novel, bg, ref_rgb, ref_mask, k_step, cond,
+        )
+
+        if (
+            opt.get("density_start_iter", 100)
+            <= self.step
+            <= opt.get("density_end_iter", 3000)
+        ):
+            if self.step % opt.get("densification_interval", 100) == 0:
+                self.key, k_d = jax.random.split(self.key)
+                self.params, self.adam, self.aux = self._densify(
+                    self.params, self.adam, self.aux, k_d
+                )
+            if self.step % opt.get("opacity_reset_interval", 700) == 0:
+                self.params, self.adam = self._reset_opacity(
+                    self.params, self.adam
+                )
+        return float(loss)
+
+    def train(self, iters: int | None = None, log_every: int = 100) -> dict:
+        iters = iters if iters is not None else self.opt.get("iters", 500)
+        t0 = time.perf_counter()
+        loss = float("nan")
+        for _ in range(iters):
+            loss = self.train_step()
+            if log_every and self.step % log_every == 0:
+                print(
+                    f"[stage1] step {self.step} loss {loss:.4f} "
+                    f"alive {int(num_alive(self.aux))}"
+                )
+        # Final prune (reference main.py train() tail).
+        self.params, self.adam, self.aux = self._prune_final(
+            self.params, self.adam, self.aux
+        )
+        wall = time.perf_counter() - t0
+        return {"loss": loss, "wall_s": wall, "alive": int(num_alive(self.aux))}
+
+    def render_view(self, cam: Camera, bg=None, size: int | None = None):
+        """No-grad render of one camera (test_step analogue)."""
+        arrays = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        bg = jnp.ones(3) if bg is None else jnp.asarray(bg, jnp.float32)
+        return _render_one(
+            self.params, arrays, bg, cam.width, cam.height,
+            self.sh_degree, self.aux.alive,
+        )
+
+    def save_ply(self, path: str) -> int:
+        return save_ply(path, self.params, self.aux)

@@ -1,5 +1,8 @@
 """Benchmark: differentiable Gaussian rasterizer fwd+bwd throughput.
 
+Uses the TPU fast path (32px tiles); enable the persistent compile cache
+so warm runs measure steady-state throughput, not compilation.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (BASELINE.json config[0]): fwd+bwd render of a trained-scale
@@ -22,6 +25,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dreamgaussian_tpu.ops.rasterize import render_gaussians
     from dreamgaussian_tpu.utils.camera import Camera, orbit_camera
 
@@ -43,6 +51,7 @@ def main() -> None:
         out = render_gaussians(
             xyz, scale, quat, opacity, shs, a["view"], a["full_proj"],
             a["campos"], a["tanfov"], size, size, bg, sh_degree=0,
+            tile=32, max_tiles=12,
         )
         return jnp.sum(out.image) + jnp.sum(out.depth) + jnp.sum(out.alpha)
 

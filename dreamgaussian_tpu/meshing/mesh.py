@@ -1,0 +1,344 @@
+"""Mesh container + OBJ/PLY/GLB I/O (numpy, dependency-free).
+
+Replaces the reference's ``mesh.py`` (trimesh/pygltflib/xatlas-backed,
+/root/reference/mesh.py): holds vertices/faces, optional normals, UVs and
+an albedo texture; loads OBJ (with mtl+map_Kd) and PLY; writes OBJ
+(+mtl+png), PLY, and GLB (hand-rolled glTF 2.0 binary with embedded PNG).
+
+Conventions match the reference so assets cross-load:
+``auto_size`` normalizes the mesh to max extent 1.2 about its centroid
+(/root/reference/mesh.py:337-342); ``auto_normal`` uses area-weighted
+(unnormalized cross product) vertex normals with +z fallback (:344-365);
+``auto_uv`` produces the xatlas-style (vmapping, ft, vt) triple with npz
+caching and optional v-to-vt alignment (:367-413).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+
+import cv2
+import numpy as np
+
+from ..utils import ply as plyio
+from .uv import unwrap
+
+
+def _safe_normalize(x: np.ndarray, eps: float = 1e-20) -> np.ndarray:
+    return x / np.sqrt(
+        np.maximum(np.sum(x * x, axis=-1, keepdims=True), eps)
+    )
+
+
+@dataclasses.dataclass
+class Mesh:
+    v: np.ndarray | None = None      # [V, 3] float32
+    f: np.ndarray | None = None      # [F, 3] int32
+    vn: np.ndarray | None = None     # [Vn, 3]
+    fn: np.ndarray | None = None     # [F, 3]
+    vt: np.ndarray | None = None     # [Vt, 2]
+    ft: np.ndarray | None = None     # [F, 3]
+    albedo: np.ndarray | None = None  # [H, W, 3] float in [0, 1]
+    ori_center: np.ndarray | None = None
+    ori_scale: float = 1.0
+
+    # ------------------------------------------------------------- loading
+
+    @classmethod
+    def load(cls, path: str, resize: bool = True) -> "Mesh":
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            mesh = cls._load_obj(path)
+        elif ext == ".ply":
+            mesh = cls._load_ply(path)
+        else:
+            raise ValueError(f"unsupported mesh format: {ext}")
+        if resize:
+            mesh.auto_size()
+        if mesh.vn is None:
+            mesh.auto_normal()
+        return mesh
+
+    @classmethod
+    def _load_obj(cls, path: str) -> "Mesh":
+        v, vt, vn = [], [], []
+        fv, fvt, fvn = [], [], []
+        albedo = None
+        mtl_path = None
+        for line in open(path, "r", errors="ignore"):
+            parts = line.strip().split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "v":
+                v.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                vt.append([float(parts[1]), float(parts[2])])
+            elif tag == "vn":
+                vn.append([float(x) for x in parts[1:4]])
+            elif tag == "mtllib":
+                mtl_path = os.path.join(os.path.dirname(path), parts[1])
+            elif tag == "f":
+                idx = [p.split("/") for p in parts[1:]]
+                # triangulate fan
+                for k in range(1, len(idx) - 1):
+                    tri = [idx[0], idx[k], idx[k + 1]]
+                    fv.append([int(t[0]) - 1 for t in tri])
+                    if len(tri[0]) > 1 and tri[0][1]:
+                        fvt.append([int(t[1]) - 1 for t in tri])
+                    if len(tri[0]) > 2 and tri[0][2]:
+                        fvn.append([int(t[2]) - 1 for t in tri])
+        if mtl_path and os.path.exists(mtl_path):
+            for line in open(mtl_path, "r", errors="ignore"):
+                parts = line.strip().split()
+                if parts and parts[0] == "map_Kd":
+                    tex = os.path.join(os.path.dirname(mtl_path), parts[-1])
+                    if os.path.exists(tex):
+                        img = cv2.cvtColor(cv2.imread(tex), cv2.COLOR_BGR2RGB)
+                        albedo = img.astype(np.float32) / 255.0
+        return cls(
+            v=np.asarray(v, np.float32),
+            f=np.asarray(fv, np.int32),
+            vt=np.asarray(vt, np.float32) if vt else None,
+            ft=np.asarray(fvt, np.int32) if fvt else None,
+            vn=np.asarray(vn, np.float32) if vn else None,
+            fn=np.asarray(fvn, np.int32) if fvn else None,
+            albedo=albedo,
+        )
+
+    @classmethod
+    def _load_ply(cls, path: str) -> "Mesh":
+        elems = plyio.read_ply(path)
+        vert = elems["vertex"]
+        v = np.stack([vert["x"], vert["y"], vert["z"]], axis=1).astype(
+            np.float32
+        )
+        f = elems.get("face_indices")
+        if f is not None:
+            f = np.asarray(f, np.int32)
+        return cls(v=v, f=f)
+
+    # -------------------------------------------------------------- ops
+
+    def aabb(self):
+        return self.v.min(axis=0), self.v.max(axis=0)
+
+    def auto_size(self) -> None:
+        vmin, vmax = self.aabb()
+        self.ori_center = (vmax + vmin) / 2
+        self.ori_scale = 1.2 / float(np.max(vmax - vmin))
+        self.v = (self.v - self.ori_center) * self.ori_scale
+
+    def auto_normal(self) -> None:
+        i0, i1, i2 = self.f[:, 0], self.f[:, 1], self.f[:, 2]
+        fn = np.cross(
+            self.v[i1] - self.v[i0], self.v[i2] - self.v[i0]
+        )
+        vn = np.zeros_like(self.v)
+        np.add.at(vn, i0, fn)
+        np.add.at(vn, i1, fn)
+        np.add.at(vn, i2, fn)
+        degenerate = np.sum(vn * vn, axis=-1) <= 1e-20
+        vn[degenerate] = [0.0, 0.0, 1.0]
+        self.vn = _safe_normalize(vn).astype(np.float32)
+        self.fn = self.f
+
+    def auto_uv(self, cache_path: str | None = None, vmap: bool = True) -> None:
+        if cache_path is not None:
+            cache_path = os.path.splitext(cache_path)[0] + "_uv.npz"
+        if cache_path is not None and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            vt, ft, vmapping = data["vt"], data["ft"], data["vmapping"]
+        else:
+            vmapping, ft, vt = unwrap(self.v, self.f)
+            if cache_path is not None:
+                np.savez(cache_path, vt=vt, ft=ft, vmapping=vmapping)
+        self.vt = vt.astype(np.float32)
+        self.ft = ft.astype(np.int32)
+        if vmap:
+            self.align_v_to_vt(vmapping.astype(np.int64))
+
+    def align_v_to_vt(self, vmapping: np.ndarray | None = None) -> None:
+        """Duplicate vertices so v[i] corresponds to vt[i]
+        (/root/reference/mesh.py:400-413)."""
+        if vmapping is None:
+            ft = self.ft.reshape(-1).astype(np.int64)
+            f = self.f.reshape(-1).astype(np.int64)
+            vmapping = np.zeros(self.vt.shape[0], dtype=np.int64)
+            vmapping[ft] = f
+        self.v = self.v[vmapping]
+        self.f = self.ft
+        if self.vn is not None:
+            self.vn = self.vn[vmapping]
+            self.fn = self.ft
+
+    # ------------------------------------------------------------- writing
+
+    def write(self, path: str) -> None:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            self._write_obj(path)
+        elif ext == ".ply":
+            self._write_ply(path)
+        elif ext == ".glb":
+            self._write_glb(path)
+        else:
+            raise ValueError(f"unsupported mesh format: {ext}")
+
+    def _write_obj(self, path: str) -> None:
+        base = os.path.splitext(path)[0]
+        mtl_name = os.path.basename(base) + ".mtl"
+        tex_name = os.path.basename(base) + "_albedo.png"
+        with open(path, "w") as fh:
+            fh.write(f"mtllib {mtl_name}\n")
+            for p in self.v:
+                fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            if self.vt is not None:
+                for t in self.vt:
+                    fh.write(f"vt {t[0]:.6f} {1.0 - t[1]:.6f}\n")
+            if self.vn is not None:
+                for n in self.vn:
+                    fh.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+            fh.write("usemtl defaultMat\n")
+            for i in range(len(self.f)):
+                a, b, c = (self.f[i] + 1)
+                if self.vt is not None and self.vn is not None:
+                    ta, tb, tc = (self.ft[i] + 1)
+                    na, nb, nc = (self.fn[i] + 1)
+                    fh.write(
+                        f"f {a}/{ta}/{na} {b}/{tb}/{nb} {c}/{tc}/{nc}\n"
+                    )
+                elif self.vt is not None:
+                    ta, tb, tc = (self.ft[i] + 1)
+                    fh.write(f"f {a}/{ta} {b}/{tb} {c}/{tc}\n")
+                else:
+                    fh.write(f"f {a} {b} {c}\n")
+        with open(os.path.join(os.path.dirname(path), mtl_name), "w") as fh:
+            fh.write("newmtl defaultMat\nKa 1 1 1\nKd 1 1 1\nKs 0 0 0\n")
+            fh.write("Tr 1\nillum 1\nNs 0\n")
+            if self.albedo is not None:
+                fh.write(f"map_Kd {tex_name}\n")
+        if self.albedo is not None:
+            img = (np.clip(self.albedo, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(os.path.dirname(path), tex_name),
+                cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+            )
+
+    def _write_ply(self, path: str) -> None:
+        n = len(self.v)
+        vert = np.zeros(
+            n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")]
+        )
+        vert["x"], vert["y"], vert["z"] = self.v.T
+        plyio.write_ply_with_faces(path, vert, self.f.astype(np.int32))
+
+    def _write_glb(self, path: str) -> None:
+        """Minimal glTF 2.0 binary with POSITION/NORMAL/TEXCOORD_0 + PNG."""
+        v = np.ascontiguousarray(self.v, np.float32)
+        f = np.ascontiguousarray(self.f, np.uint32).reshape(-1)
+        buffers = [f.tobytes(), v.tobytes()]
+        accessors = [
+            {
+                "bufferView": 0, "componentType": 5125,
+                "count": int(f.size), "type": "SCALAR",
+                "max": [int(f.max()) if f.size else 0], "min": [0],
+            },
+            {
+                "bufferView": 1, "componentType": 5126,
+                "count": len(v), "type": "VEC3",
+                "max": v.max(axis=0).tolist(), "min": v.min(axis=0).tolist(),
+            },
+        ]
+        attributes = {"POSITION": 1}
+        if self.vn is not None:
+            vn = np.ascontiguousarray(self.vn, np.float32)
+            buffers.append(vn.tobytes())
+            accessors.append(
+                {"bufferView": len(buffers) - 1, "componentType": 5126,
+                 "count": len(vn), "type": "VEC3"}
+            )
+            attributes["NORMAL"] = len(accessors) - 1
+        images = []
+        textures = []
+        samplers = []
+        material: dict = {
+            "pbrMetallicRoughness": {
+                "metallicFactor": 0.0, "roughnessFactor": 1.0,
+            }
+        }
+        if self.vt is not None:
+            vt = np.ascontiguousarray(self.vt, np.float32)
+            buffers.append(vt.tobytes())
+            accessors.append(
+                {"bufferView": len(buffers) - 1, "componentType": 5126,
+                 "count": len(vt), "type": "VEC2"}
+            )
+            attributes["TEXCOORD_0"] = len(accessors) - 1
+        if self.albedo is not None and self.vt is not None:
+            img = (np.clip(self.albedo, 0, 1) * 255).astype(np.uint8)
+            ok, png = cv2.imencode(
+                ".png", cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            )
+            assert ok
+            buffers.append(png.tobytes())
+            images.append(
+                {"bufferView": len(buffers) - 1, "mimeType": "image/png"}
+            )
+            samplers.append(
+                {"magFilter": 9729, "minFilter": 9987,
+                 "wrapS": 10497, "wrapT": 10497}
+            )
+            textures.append({"sampler": 0, "source": 0})
+            material["pbrMetallicRoughness"]["baseColorTexture"] = {
+                "index": 0
+            }
+
+        # bufferViews with 4-byte alignment in one blob.
+        blob = b""
+        views = []
+        for data in buffers:
+            off = len(blob)
+            views.append(
+                {"buffer": 0, "byteOffset": off, "byteLength": len(data)}
+            )
+            blob += data + b"\x00" * ((4 - len(data) % 4) % 4)
+
+        gltf = {
+            "asset": {"version": "2.0", "generator": "dreamgaussian_tpu"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [
+                {
+                    "primitives": [
+                        {
+                            "attributes": attributes,
+                            "indices": 0,
+                            "material": 0,
+                        }
+                    ]
+                }
+            ],
+            "materials": [material],
+            "accessors": accessors,
+            "bufferViews": views,
+            "buffers": [{"byteLength": len(blob)}],
+        }
+        if images:
+            gltf["images"] = images
+            gltf["textures"] = textures
+            gltf["samplers"] = samplers
+
+        js = json.dumps(gltf).encode()
+        js += b" " * ((4 - len(js) % 4) % 4)
+        total = 12 + 8 + len(js) + 8 + len(blob)
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<III", 0x46546C67, 2, total))
+            fh.write(struct.pack("<II", len(js), 0x4E4F534A))
+            fh.write(js)
+            fh.write(struct.pack("<II", len(blob), 0x004E4942))
+            fh.write(blob)

@@ -1,0 +1,163 @@
+"""Gaussian-cloud occupancy field for mesh extraction (TPU-native).
+
+Equivalent of the reference ``GaussianModel.extract_fields``
+(/root/reference/gs_renderer.py:218-294): evaluate
+``occ(p) = sum_g opacity_g * exp(-0.5 (p-mu_g)^T Sigma_g^{-1} (p-mu_g))``
+on a regular grid over the normalized [-1, 1] bounding cube, after
+filtering gaussians with opacity <= 0.005.
+
+TPU-first redesign: the reference host-loops over 16^3 spatial blocks and
+culls gaussians per block with dynamic shapes. Here the quadratic form is
+factorized into a **10-feature matmul**: with A = Sigma^{-1},
+
+  (p-mu)^T A (p-mu) = [1, px, py, pz, px^2, py^2, pz^2, pxpy, pxpz, pypz]
+                      . G(A, mu)
+
+so a [M, 10] x [10, G] matmul on the MXU produces all point-gaussian
+quadratic forms at once; the exp and the opacity matvec follow on the
+VPU/MXU. Blocks of the grid stream through ``lax.map`` at fixed shape —
+no culling, no dynamic shapes, and the dense compute is cheaper on TPU
+than the bookkeeping it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quat import build_covariance
+
+
+class OccupancyTransform(NamedTuple):
+    """Mapping between world space and the normalized field cube."""
+
+    center: np.ndarray  # [3]
+    scale: float
+
+    def grid_to_world(self, verts: np.ndarray, resolution: int) -> np.ndarray:
+        """Marching-cubes grid coords -> world coords
+        (/root/reference/gs_renderer.py:303-307)."""
+        v = verts / (resolution - 1.0) * 2.0 - 1.0
+        return v / self.scale + self.center
+
+
+def _inv_cov_features(cov: jnp.ndarray, eps: float = 1e-24) -> jnp.ndarray:
+    """Per-gaussian features G_k of the factorized quadratic form.
+
+    cov: [G, 3, 3] covariances. Returns [G, 10] such that
+    quad(p, g) = phi(p) . G[g] with
+    phi(p) = [1, px, py, pz, px^2, py^2, pz^2, px*py, px*pz, py*pz].
+    Degenerate covariances (det ~ 0) get zero features => zero density,
+    matching the reference's inv_det guard
+    (/root/reference/gs_renderer.py:64-83).
+    """
+    a = cov[:, 0, 0]
+    b = cov[:, 0, 1]
+    c = cov[:, 0, 2]
+    d = cov[:, 1, 1]
+    e = cov[:, 1, 2]
+    f = cov[:, 2, 2]
+    det = a * d * f + 2 * b * c * e - a * e * e - b * b * f - c * c * d
+    ok = det > eps
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    ia = (d * f - e * e) * inv_det
+    ib = (c * e - b * f) * inv_det
+    ic = (b * e - c * d) * inv_det
+    id_ = (a * f - c * c) * inv_det
+    ie = (b * c - a * e) * inv_det
+    if_ = (a * d - b * b) * inv_det
+    return jnp.stack([ia, ib, ic, id_, ie, if_], axis=-1), ok
+
+
+def _features(mu: jnp.ndarray, inv6: jnp.ndarray) -> jnp.ndarray:
+    """[G, 10] gaussian-side features for the factorized quad form."""
+    ia, ib, ic, id_, ie, if_ = (inv6[:, i] for i in range(6))
+    mx, my, mz = mu[:, 0], mu[:, 1], mu[:, 2]
+    # quad = ia*(px-mx)^2 + id*(py-my)^2 + if*(pz-mz)^2
+    #      + 2ib*(px-mx)(py-my) + 2ic*(px-mx)(pz-mz) + 2ie*(py-my)(pz-mz)
+    const = (
+        ia * mx * mx + id_ * my * my + if_ * mz * mz
+        + 2 * ib * mx * my + 2 * ic * mx * mz + 2 * ie * my * mz
+    )
+    gx = -2 * (ia * mx + ib * my + ic * mz)
+    gy = -2 * (ib * mx + id_ * my + ie * mz)
+    gz = -2 * (ic * mx + ie * my + if_ * mz)
+    return jnp.stack(
+        [const, gx, gy, gz, ia, id_, if_, 2 * ib, 2 * ic, 2 * ie], axis=-1
+    )
+
+
+def _phi(pts: jnp.ndarray) -> jnp.ndarray:
+    """[M, 10] point-side monomial features."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    return jnp.stack(
+        [jnp.ones_like(x), x, y, z, x * x, y * y, z * z, x * y, x * z, y * z],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "block"))
+def _field_on_grid(mu, inv6, opa, resolution: int, block: int):
+    feats = _features(mu, inv6)              # [G, 10]
+    lin = jnp.linspace(-1.0, 1.0, resolution)
+
+    def eval_block(z0):
+        zs = jax.lax.dynamic_slice(lin, (z0,), (block,))
+        xx, yy, zz = jnp.meshgrid(lin, lin, zs, indexing="ij")
+        pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+        quad = jnp.matmul(
+            _phi(pts), feats.T, precision=jax.lax.Precision.HIGHEST
+        )  # [M, G]
+        power = -0.5 * quad
+        w = jnp.where(power <= 0, jnp.exp(jnp.minimum(power, 0.0)), 0.0)
+        val = jnp.matmul(w, opa, precision=jax.lax.Precision.HIGHEST)
+        return val.reshape(resolution, resolution, block)
+
+    n_blocks = resolution // block
+    starts = jnp.arange(n_blocks) * block
+    slabs = jax.lax.map(eval_block, starts)  # [n_blocks, R, R, block]
+    return slabs.transpose(1, 2, 0, 3).reshape(
+        resolution, resolution, resolution
+    )
+
+
+def extract_occupancy_field(
+    params: dict,
+    alive: jnp.ndarray,
+    resolution: int = 128,
+    block: int = 16,
+    opacity_min: float = 0.005,
+) -> tuple[np.ndarray, OccupancyTransform]:
+    """Occupancy grid [R,R,R] + world transform from padded scene params.
+
+    Dead or near-transparent gaussians contribute zero (mask folded into
+    the opacity vector — shape-static, no boolean indexing).
+    """
+    opa = jax.nn.sigmoid(params["opacity"][:, 0])
+    use = alive & (opa > opacity_min)
+    opa = jnp.where(use, opa, 0.0)
+
+    xyz = params["xyz"]
+    # Bounding box over used gaussians only (reference normalizes to ~[-1,1]
+    # with 1.8/extent, gs_renderer.py:236-241).
+    big = jnp.float32(1e9)
+    mn = jnp.min(jnp.where(use[:, None], xyz, big), axis=0)
+    mx = jnp.max(jnp.where(use[:, None], xyz, -big), axis=0)
+    center = (mn + mx) / 2.0
+    scale = 1.8 / jnp.max(mx - mn)
+
+    mu = (xyz - center) * scale
+    stds = jnp.exp(params["scaling"]) * scale
+    cov = build_covariance(stds, params["rotation"])  # [G,3,3]
+    inv6, ok = _inv_cov_features(cov)
+    opa = jnp.where(ok, opa, 0.0)
+
+    occ = _field_on_grid(mu, inv6, opa, resolution, block)
+    return (
+        np.asarray(occ),
+        OccupancyTransform(center=np.asarray(center), scale=float(scale)),
+    )

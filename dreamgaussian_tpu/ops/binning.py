@@ -2,9 +2,9 @@
 
 Replaces the CUDA duplicate+radix-sort stage of
 ``diff-gaussian-rasterization``: each gaussian is duplicated into every
-16x16 screen tile its radius rect touches, pairs are sorted by
-(tile, view depth), and per-tile contiguous ranges are exposed to the
-Pallas compositing kernel.
+screen tile its radius rect touches, pairs are ordered by (tile, view
+depth), and per-tile contiguous ranges are exposed to the Pallas
+compositing kernel.
 
 TPU-first design decisions:
 
@@ -14,8 +14,16 @@ TPU-first design decisions:
   order). The reference prunes gaussians with screen radius > 1px during
   densification (/root/reference/main.py:284), so oversized footprints are
   rare in practice.
-- **One `lax.sort`** over (tile, depth, index) — the TPU idiom for the
-  CUDA radix sort over packed 64-bit keys.
+- **Tile size is a parameter.** 16 matches the CUDA reference exactly
+  (tile-rect culling is part of the compositing semantics); 32 is the TPU
+  sweet spot — 4x fewer duplicates to sort, 4x fewer kernel grid steps,
+  and the extra per-pair work is free on the VPU/MXU.
+- **Depth pre-sort + single-key stable tile sort.** Sorting n gaussians
+  by depth first (tiny sort) lets the big K-element sort use ONE int key
+  (tile id) with ``is_stable=True`` — stability preserves the depth order
+  within each tile. This is ~2x cheaper than the lexicographic
+  (tile, depth) sort; TPU sorts are comparison-based and every extra key
+  doubles the comparator cost.
 - **Chunk-aligned layout**: every tile's duplicate list is padded to a
   multiple of ``chunk`` inside one flat array, so the kernel's per-chunk
   DMAs are lane-aligned and padding slots (which map to an all-zero
@@ -29,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-TILE = 16
+TILE = 16  # default tile size (CUDA-parity); pass tile=32 for TPU speed
 
 
 class BinnedTiles(NamedTuple):
@@ -47,15 +55,16 @@ class BinnedTiles(NamedTuple):
     num_dups: jnp.ndarray
 
 
-def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int):
+def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int,
+              tile: int = TILE):
     """Integer tile rect [min, max) per gaussian (matches CUDA getRect)."""
-    grid_x = (width + TILE - 1) // TILE
-    grid_y = (height + TILE - 1) // TILE
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
     r = radius.astype(mean2d.dtype)
-    xmin = jnp.clip(((mean2d[:, 0] - r) / TILE).astype(jnp.int32), 0, grid_x)
-    ymin = jnp.clip(((mean2d[:, 1] - r) / TILE).astype(jnp.int32), 0, grid_y)
-    xmax = jnp.clip(((mean2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
-    ymax = jnp.clip(((mean2d[:, 1] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    xmin = jnp.clip(((mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, grid_x)
+    ymin = jnp.clip(((mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, grid_y)
+    xmax = jnp.clip(((mean2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    ymax = jnp.clip(((mean2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     return xmin, ymin, xmax, ymax
 
 
@@ -72,39 +81,69 @@ def bin_gaussians(
     height: int,
     max_tiles: int = 64,
     chunk: int = 128,
+    tile: int = TILE,
 ) -> BinnedTiles:
     """Bin projected gaussians into chunk-aligned per-tile depth-sorted lists."""
     n = mean2d.shape[0]
-    grid_x = (width + TILE - 1) // TILE
-    grid_y = (height + TILE - 1) // TILE
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
     num_tiles = grid_x * grid_y
     max_tiles = min(max_tiles, num_tiles)
     k = n * max_tiles
     k_aligned = aligned_capacity(n, max_tiles, num_tiles, chunk)
 
-    xmin, ymin, xmax, ymax = tile_rect(mean2d, radius, width, height)
+    # --- Depth pre-sort (tiny: n elements). Invisible gaussians sort last
+    # via +inf depth so truncated rects don't waste early slots.
+    dkey = jnp.where(radius > 0, depth.astype(jnp.float32), jnp.inf)
+    # Two keys: index tie-break makes equal-depth order deterministic and
+    # identical to the CUDA stable radix sort's duplication order.
+    _, order = jax.lax.sort(
+        (dkey, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+    mean2d_s = mean2d[order]
+    radius_s = radius[order]
+
+    xmin, ymin, xmax, ymax = tile_rect(mean2d_s, radius_s, width, height, tile)
+    valid_g = radius_s > 0
+    return bin_rects(
+        xmin, ymin, xmax, ymax, order, valid_g, n,
+        grid_x=grid_x, num_tiles=num_tiles, max_tiles=max_tiles, chunk=chunk,
+    )
+
+
+def bin_rects(
+    xmin, ymin, xmax, ymax, order, valid_g, n: int,
+    *, grid_x: int, num_tiles: int, max_tiles: int, chunk: int,
+) -> BinnedTiles:
+    """Shared rect->tile duplication + stable sort + aligned layout.
+
+    Inputs are PRE-ORDERED (e.g. by depth): row i describes the element
+    whose original index is ``order[i]``; stability of the tile sort
+    preserves this order within each tile's list. Also used by the mesh
+    rasterizer's triangle binning (order = face index).
+    """
+    k = n * max_tiles
+    k_aligned = aligned_capacity(n, max_tiles, num_tiles, chunk)
     rect_w = xmax - xmin
-    count = jnp.where(radius > 0, rect_w * (ymax - ymin), 0)
+    count = jnp.where(valid_g, rect_w * (ymax - ymin), 0)
     count = jnp.minimum(count, max_tiles)
 
-    # Slot m of gaussian i covers rect cell (m % w, m // w), row-major.
+    # Slot m of element i covers rect cell (m % w, m // w), row-major.
     m = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]          # [1, M]
     safe_w = jnp.maximum(rect_w, 1)[:, None]
     dy = m // safe_w
     dx = m - dy * safe_w
-    tile = (ymin[:, None] + dy) * grid_x + (xmin[:, None] + dx)  # [N, M]
+    tile_id = (ymin[:, None] + dy) * grid_x + (xmin[:, None] + dx)  # [N, M]
     valid = m < count[:, None]
-    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
-    tile_flat = tile.reshape(k)
-    depth_flat = jnp.broadcast_to(depth[:, None], (n, max_tiles)).reshape(k)
-    depth_flat = depth_flat.astype(jnp.float32)
-    idx_flat = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_tiles)
-    ).reshape(k)
+    tile_flat = tile_id.reshape(k)
+    idx_flat = jnp.broadcast_to(order[:, None], (n, max_tiles)).reshape(k)
 
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_flat, depth_flat, idx_flat), num_keys=2
+    # Stable single-key sort: rows are already in the desired order,
+    # stability preserves it within each tile bucket.
+    sorted_tile, sorted_idx = jax.lax.sort(
+        (tile_flat, idx_flat), num_keys=1, is_stable=True
     )
 
     # Per-tile ranges in the sorted array.
@@ -124,7 +163,7 @@ def bin_gaussians(
         jnp.arange(k, dtype=jnp.int32) - offs_lut[sorted_tile]
     )
     dup_map = jnp.full((k_aligned,), n, dtype=jnp.int32)
-    dup_map = dup_map.at[pos].set(sorted_idx, mode="drop")
+    dup_map = dup_map.at[pos].set(sorted_idx, mode="drop", unique_indices=True)
 
     return BinnedTiles(
         dup_map=dup_map,

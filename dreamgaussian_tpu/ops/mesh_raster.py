@@ -1,0 +1,200 @@
+"""Differentiable triangle rasterization (nvdiffrast replacement).
+
+The reference's stage-2 texture refinement renders meshes with nvdiffrast
+(rasterize/interpolate/texture/antialias, call surface
+/root/reference/mesh_renderer.py:79-153). This module rebuilds that
+pipeline TPU-first as a two-phase design:
+
+1. **Visibility (Pallas, non-diff):** triangles are binned to screen
+   tiles (same machinery as the gaussian rasterizer) and a z-buffer
+   kernel picks the nearest covering triangle per pixel
+   (mesh_raster_pallas.ztest).
+2. **Deferred shading (jnp, autodiff):** screen barycentrics of each
+   pixel's winning triangle are RE-DERIVED from the clip-space vertices
+   in plain jnp, so gradients flow to vertex positions and to every
+   interpolated attribute/texture exactly — no hand-written backward.
+   This matches nvdiffrast's gradient model without edge antialiasing
+   (occlusion boundaries are non-differentiable; the reference's stage-2
+   already relies on random-SSAA jitter, /root/reference/main2.py:182,213).
+
+Perspective-correct interpolation uses clip-space w; depth uses
+screen-affine NDC z like OpenGL.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import aligned_capacity, bin_rects
+from .mesh_raster_pallas import ROWS, ztest
+
+
+class RastOut(NamedTuple):
+    tri_id: jnp.ndarray   # [H, W] int32, 0 = miss, else face index + 1
+    bary: jnp.ndarray     # [H, W, 3] perspective-correct, differentiable
+    zbuf: jnp.ndarray     # [H, W] NDC depth (0 where miss)
+    mask: jnp.ndarray     # [H, W] bool coverage
+
+
+def _screen_coords(v_clip: jnp.ndarray, width: int, height: int):
+    """Clip -> pixel coords with the GS pixel-center convention
+    (pixel i center at ndc (2i+1)/size - 1)."""
+    w = v_clip[:, 3:4]
+    ndc = v_clip[:, :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    sizes = jnp.array([width, height], v_clip.dtype)
+    xy = ((ndc[:, :2] + 1.0) * sizes - 1.0) * 0.5
+    return xy, ndc[:, 2], w[:, 0]
+
+
+def rasterize(
+    v_clip: jnp.ndarray,
+    faces: jnp.ndarray,
+    width: int,
+    height: int,
+    tile: int = 32,
+    max_tiles: int = 16,
+    chunk: int = 128,
+) -> RastOut:
+    """Rasterize clip-space triangles; differentiable barycentrics.
+
+    v_clip: [V, 4]; faces: [F, 3] int32.
+    """
+    assert width % tile == 0 and height % tile == 0
+    nf = faces.shape[0]
+    grid_x = width // tile
+    grid_y = height // tile
+    num_tiles = grid_x * grid_y
+    max_tiles = min(max_tiles, num_tiles)
+
+    xy, z_ndc, w_clip = _screen_coords(v_clip, width, height)
+    xy_ng = jax.lax.stop_gradient(xy)
+    z_ng = jax.lax.stop_gradient(z_ndc)
+
+    tv = xy_ng[faces]                      # [F, 3, 2]
+    tz = z_ng[faces]                       # [F, 3]
+    tw = jax.lax.stop_gradient(w_clip)[faces]
+
+    # Cull: behind-camera (any w <= eps) or degenerate bbox.
+    ok = jnp.all(tw > 1e-6, axis=1)
+
+    fx = tv[..., 0]
+    fy = tv[..., 1]
+    xmin = jnp.clip((jnp.min(fx, 1) / tile).astype(jnp.int32), 0, grid_x)
+    ymin = jnp.clip((jnp.min(fy, 1) / tile).astype(jnp.int32), 0, grid_y)
+    xmax = jnp.clip(
+        ((jnp.max(fx, 1) + tile) / tile).astype(jnp.int32), 0, grid_x
+    )
+    ymax = jnp.clip(
+        ((jnp.max(fy, 1) + tile) / tile).astype(jnp.int32), 0, grid_y
+    )
+    ok &= (xmax > xmin) & (ymax > ymin)
+    # Off-screen bboxes produce empty rects via the clip above.
+
+    order = jnp.arange(nf, dtype=jnp.int32)
+    bins = bin_rects(
+        xmin, ymin, xmax, ymax, order, ok, nf,
+        grid_x=grid_x, num_tiles=num_tiles, max_tiles=max_tiles, chunk=chunk,
+    )
+
+    # Feature columns [ROWS, F+1]; padding sentinel column nf = zeros.
+    rows = jnp.concatenate(
+        [
+            tv.reshape(nf, 6).T,            # x0 y0 x1 y1 x2 y2 (interleaved)
+            tz.T,                            # z0 z1 z2
+            (order + 1).astype(jnp.float32)[None, :],
+        ],
+        axis=0,
+    )
+    # Reorder interleaving: tv.reshape gives [x0,y0,x1,y1,x2,y2] per face.
+    feat_cols = jnp.pad(rows, ((0, ROWS - rows.shape[0]), (0, 1)))
+    dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)
+
+    out = ztest(
+        dup_feat, bins.chunk_starts, bins.n_chunks,
+        grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
+    )  # [T, pix, 8]
+    hw = out.reshape(grid_y, grid_x, tile, tile, 8)
+    hw = hw.transpose(0, 2, 1, 3, 4).reshape(height, width, 8)
+    tri_id = hw[..., 0].astype(jnp.int32)
+    zbuf = hw[..., 1]
+    mask = tri_id > 0
+
+    # ---- Deferred differentiable barycentrics for the winners.
+    fidx = jnp.clip(tri_id - 1, 0, nf - 1)         # [H, W]
+    tri = faces[fidx]                              # [H, W, 3]
+    p = xy[tri]                                    # [H, W, 3, 2] DIFFERENTIABLE
+    pw = w_clip[tri]                               # [H, W, 3]
+
+    px = (jnp.arange(width, dtype=jnp.float32))[None, :, None]
+    py = (jnp.arange(height, dtype=jnp.float32))[:, None, None]
+    x0, y0 = p[..., 0, 0], p[..., 0, 1]
+    x1, y1 = p[..., 1, 0], p[..., 1, 1]
+    x2, y2 = p[..., 2, 0], p[..., 2, 1]
+    pxx = px[..., 0]
+    pyy = py[..., 0]
+    e0 = (x2 - x1) * (pyy - y1) - (y2 - y1) * (pxx - x1)
+    e1 = (x0 - x2) * (pyy - y2) - (y0 - y2) * (pxx - x2)
+    e2 = (x1 - x0) * (pyy - y0) - (y1 - y0) * (pxx - x0)
+    area = e0 + e1 + e2
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    b = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]  # screen bary
+
+    # Perspective correction: weight by 1/w.
+    pc = b / jnp.maximum(pw, 1e-12)
+    pc = pc / jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True), 1e-12)
+    bary = jnp.where(mask[..., None], pc, 0.0)
+    return RastOut(tri_id=tri_id, bary=bary, zbuf=jnp.where(mask, zbuf, 0.0),
+                   mask=mask)
+
+
+def interpolate(
+    attrs: jnp.ndarray, faces: jnp.ndarray, rast: RastOut
+) -> jnp.ndarray:
+    """Perspective-correct per-pixel attribute interpolation.
+
+    attrs: [V, A] -> [H, W, A]; zero where no coverage.
+    """
+    nf = faces.shape[0]
+    fidx = jnp.clip(rast.tri_id - 1, 0, nf - 1)
+    tri = faces[fidx]                      # [H, W, 3]
+    a = attrs[tri]                         # [H, W, 3, A]
+    out = jnp.sum(a * rast.bary[..., None], axis=-2)
+    return jnp.where(rast.mask[..., None], out, 0.0)
+
+
+def sample_texture(
+    tex: jnp.ndarray, uv: jnp.ndarray, mode: str = "bilinear"
+) -> jnp.ndarray:
+    """Differentiable texture lookup. tex [th, tw, C], uv [H, W, 2] in
+    [0, 1] (u -> width axis, v -> height axis)."""
+    th, tw = tex.shape[0], tex.shape[1]
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
+    y = jnp.clip(uv[..., 1], 0.0, 1.0) * (th - 1)
+    if mode == "nearest":
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        return tex[yi, xi]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    t00 = tex[y0, x0]
+    t01 = tex[y0, x1]
+    t10 = tex[y1, x0]
+    t11 = tex[y1, x1]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def scale_img(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear resize [H, W, C] -> [h, w, C] (SSAA up/downscale)."""
+    return jax.image.resize(img, (h, w, img.shape[-1]), "bilinear")

@@ -42,8 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 16
-PIX = TILE * TILE
+TILE = 16                 # default (CUDA-parity); 32 is the TPU fast path
+PIX = TILE * TILE         # default pixel count; kernels take `tile` statically
 FEAT_ROWS = 16
 OUT_CH = 8
 TERM_EPS = 1e-4
@@ -76,13 +76,13 @@ def _dot_p(a, b):
     )
 
 
-def _pixel_coords(tile_id, grid_x):
-    """Pixel centers of tile `tile_id` as [PIX, 1] columns (x, y)."""
+def _pixel_coords(tile_id, grid_x, tile):
+    """Pixel centers of tile `tile_id` as [tile*tile, 1] columns (x, y)."""
     ty = tile_id // grid_x
     tx = tile_id - ty * grid_x
-    pid = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tx * TILE + pid % TILE).astype(_f32)
-    py = (ty * TILE + pid // TILE).astype(_f32)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
+    px = (tx * tile + pid % tile).astype(_f32)
+    py = (ty * tile + pid // tile).astype(_f32)
     return px, py
 
 
@@ -120,11 +120,12 @@ def _tri_masks(c):
 
 
 def _fwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, out_ref, buf, sems,
-                *, grid_x: int, chunk: int):
+                *, grid_x: int, chunk: int, tile: int):
+    pix = tile * tile
     t = pl.program_id(0)
     n_chunks = n_chunks_ref[t]
     start = chunk_start_ref[t]
-    px, py = _pixel_coords(t, grid_x)
+    px, py = _pixel_coords(t, grid_x, tile)
     strict_upper, _, _ = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -178,14 +179,14 @@ def _fwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, out_ref, buf, sems,
         return t_run, rgb, dep, ncontrib
 
     init = (
-        jnp.ones((PIX, 1), _f32),
-        jnp.zeros((PIX, 3), _f32),
-        jnp.zeros((PIX, 1), _f32),
-        jnp.zeros((PIX, 1), _f32),
+        jnp.ones((pix, 1), _f32),
+        jnp.zeros((pix, 3), _f32),
+        jnp.zeros((pix, 1), _f32),
+        jnp.zeros((pix, 1), _f32),
     )
     t_run, rgb, dep, ncontrib = jax.lax.fori_loop(0, n_chunks, body, init)
     out_ref[0] = jnp.concatenate(
-        [rgb, dep, t_run, ncontrib, jnp.zeros((PIX, OUT_CH - 6), _f32)], axis=1
+        [rgb, dep, t_run, ncontrib, jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1
     )
 
 
@@ -195,11 +196,13 @@ def _fwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, out_ref, buf, sems,
 
 
 def _bwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, fwd_ref, gout_ref,
-                dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int, chunk: int):
+                dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int, chunk: int,
+                tile: int):
+    pix = tile * tile
     t = pl.program_id(0)
     n_chunks = n_chunks_ref[t]
     start = chunk_start_ref[t]
-    px, py = _pixel_coords(t, grid_x)
+    px, py = _pixel_coords(t, grid_x, tile)
     _, incl_lower, strict_lower = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -290,7 +293,7 @@ def _bwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, fwd_ref, gout_ref,
         s_run = s_run + _dot(u, ones_c)
         return t_run, s_run
 
-    init = (t_final, jnp.zeros((PIX, 1), _f32))
+    init = (t_final, jnp.zeros((pix, 1), _f32))
     jax.lax.fori_loop(0, n_chunks, body, init)
 
     # Drain outstanding writes.
@@ -312,20 +315,25 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "chunk"))
-def composite_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles, chunk):
+@functools.partial(
+    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
+)
+def composite_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles,
+                      chunk, tile=TILE):
     """Run the forward tile kernel.
 
     dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated features.
-    Returns [num_tiles, PIX, OUT_CH].
+    Returns [num_tiles, tile*tile, OUT_CH].
     """
-    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk)
+    pix = tile * tile
+    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
+                               tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PIX, OUT_CH), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, pix, OUT_CH), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_ROWS, chunk), _f32),
@@ -335,25 +343,29 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles, ch
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT_CH), _f32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, pix, OUT_CH), _f32),
         interpret=_use_interpret(),
     )(chunk_starts, n_chunks, dup_feat)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
+)
 def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
-                       *, grid_x, num_tiles, chunk):
+                       *, grid_x, num_tiles, chunk, tile=TILE):
     """Run the backward tile kernel -> per-duplicate feature gradients."""
-    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk)
+    pix = tile * tile
+    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
+                               tile=tile)
     k_aligned = dup_feat.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIX, OUT_CH), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, pix, OUT_CH), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUT_CH), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, pix, OUT_CH), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

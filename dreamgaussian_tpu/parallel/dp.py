@@ -42,7 +42,7 @@ def make_data_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def _render_one(params, cam_arrays, bg, width, height, sh_degree, alive,
-                tap=None, max_tiles=32, chunk=128):
+                tap=None, max_tiles=12, chunk=128, tile=32):
     act_scale = jnp.exp(params["scaling"])
     act_op = jax.nn.sigmoid(params["opacity"][:, 0])
     shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
@@ -51,7 +51,7 @@ def _render_one(params, cam_arrays, bg, width, height, sh_degree, alive,
         cam_arrays["view"], cam_arrays["full_proj"], cam_arrays["campos"],
         cam_arrays["tanfov"], width, height, bg,
         sh_degree=sh_degree, alive=alive, mean2d_tap=tap,
-        max_tiles=max_tiles, chunk=chunk,
+        max_tiles=max_tiles, chunk=chunk, tile=tile,
     )
 
 
@@ -66,7 +66,7 @@ def make_dp_train_step(
     warmup_rgb_loss: bool,
     lr_schedules: dict,
     guidance_fns: tuple = (),
-    max_tiles: int = 32,
+    max_tiles: int = 12,
     chunk: int = 128,
 ) -> Callable:
     """Jitted multi-chip train step.

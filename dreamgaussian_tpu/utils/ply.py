@@ -140,3 +140,29 @@ def structured_from_columns(columns: Mapping[str, np.ndarray]) -> np.ndarray:
     for name, col in columns.items():
         arr[name] = np.asarray(col, dtype=np.float32).reshape(n)
     return arr
+
+
+def write_ply_with_faces(
+    path: str, vertices: np.ndarray, faces: np.ndarray
+) -> None:
+    """Write a binary mesh PLY: structured vertex element + triangle faces
+    (``property list uchar int vertex_indices``)."""
+    faces = np.ascontiguousarray(faces, dtype="<i4")
+    with open(path, "wb") as f:
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {len(vertices)}"]
+        for prop in vertices.dtype.names:
+            ply_t = _INV_DTYPES[vertices.dtype[prop].str[1:]]
+            header.append(f"property {ply_t} {prop}")
+        header += [
+            f"element face {len(faces)}",
+            "property list uchar int vertex_indices",
+            "end_header",
+        ]
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(vertices.astype(vertices.dtype.newbyteorder("<")).tobytes())
+        counts = np.full((len(faces), 1), 3, dtype=np.uint8)
+        rows = np.empty(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+        rows["n"] = counts[:, 0]
+        rows["idx"] = faces
+        f.write(rows.tobytes())

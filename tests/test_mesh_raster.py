@@ -1,0 +1,159 @@
+"""Mesh rasterizer tests: Pallas z-test vs dense oracle, deferred grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamgaussian_tpu.ops.mesh_raster import (
+    RastOut,
+    interpolate,
+    rasterize,
+    sample_texture,
+)
+
+
+def dense_rasterize(v_clip, faces, width, height):
+    """O(F * H * W) oracle with the same conventions."""
+    v_clip = np.asarray(v_clip)
+    faces = np.asarray(faces)
+    w = v_clip[:, 3:4]
+    ndc = v_clip[:, :3] / w
+    xy = ((ndc[:, :2] + 1.0) * np.array([width, height]) - 1.0) * 0.5
+    z = ndc[:, 2]
+
+    tri_id = np.zeros((height, width), np.int32)
+    zbuf = np.full((height, width), np.inf)
+    ys, xs = np.mgrid[0:height, 0:width]
+    for fi, f in enumerate(faces):
+        p = xy[f]
+        e0 = (p[2, 0] - p[1, 0]) * (ys - p[1, 1]) - (p[2, 1] - p[1, 1]) * (xs - p[1, 0])
+        e1 = (p[0, 0] - p[2, 0]) * (ys - p[2, 1]) - (p[0, 1] - p[2, 1]) * (xs - p[2, 0])
+        e2 = (p[1, 0] - p[0, 0]) * (ys - p[0, 1]) - (p[1, 1] - p[0, 1]) * (xs - p[0, 0])
+        area = (p[1, 0] - p[0, 0]) * (p[2, 1] - p[0, 1]) - (
+            p[1, 1] - p[0, 1]
+        ) * (p[2, 0] - p[0, 0])
+        if area == 0:
+            continue
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) if area > 0 else (
+            (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        )
+        zf = (e0 * z[f[0]] + e1 * z[f[1]] + e2 * z[f[2]]) / area
+        upd = inside & (zf < zbuf)
+        zbuf[upd] = zf[upd]
+        tri_id[upd] = fi + 1
+    zbuf[tri_id == 0] = 0
+    return tri_id, zbuf
+
+
+def simple_scene():
+    """Two overlapping triangles at different depths, w=1 (ortho-like)."""
+    v = jnp.asarray([
+        # near triangle (z=0.2), covers left
+        [-0.8, -0.8, 0.2, 1.0],
+        [0.4, -0.8, 0.2, 1.0],
+        [-0.2, 0.8, 0.2, 1.0],
+        # far triangle (z=0.6), covers right
+        [-0.4, -0.6, 0.6, 1.0],
+        [0.8, -0.6, 0.6, 1.0],
+        [0.2, 0.9, 0.6, 1.0],
+    ])
+    f = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    return v, f
+
+
+class TestRasterize:
+    def test_matches_dense_oracle(self):
+        v, f = simple_scene()
+        out = rasterize(v, f, 64, 64, tile=32, max_tiles=4)
+        ref_id, ref_z = dense_rasterize(v, f, 64, 64)
+        np.testing.assert_array_equal(np.asarray(out.tri_id), ref_id)
+        np.testing.assert_allclose(np.asarray(out.zbuf), ref_z, atol=1e-5)
+
+    def test_perspective_scene_matches(self):
+        rng = np.random.default_rng(0)
+        nv = 30
+        v3 = rng.normal(size=(nv, 3)) * 0.4
+        w = 2.0 + v3[:, 2]
+        v_clip = np.concatenate(
+            [v3[:, :2] * 1.5, (w * 0.5 + v3[:, 2:3] * 0.1), w[:, None]],
+            axis=1,
+        ).astype(np.float32)
+        f = rng.integers(0, nv, size=(20, 3)).astype(np.int32)
+        ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        f = f[ok]
+        out = rasterize(jnp.asarray(v_clip), jnp.asarray(f), 64, 64,
+                        tile=32, max_tiles=4)
+        ref_id, ref_z = dense_rasterize(v_clip, f, 64, 64)
+        same = (np.asarray(out.tri_id) == ref_id)
+        # allow tiny disagreement at exact shared edges
+        assert same.mean() > 0.995
+
+    def test_bary_sums_to_one_on_coverage(self):
+        v, f = simple_scene()
+        out = rasterize(v, f, 64, 64, tile=32, max_tiles=4)
+        s = np.asarray(out.bary.sum(-1))
+        m = np.asarray(out.mask)
+        np.testing.assert_allclose(s[m], 1.0, atol=1e-5)
+        assert (s[~m] == 0).all()
+
+    def test_empty_scene(self):
+        v = jnp.zeros((3, 4)).at[:, 3].set(1.0)
+        f = jnp.asarray([[0, 1, 2]], jnp.int32)
+        out = rasterize(v, f, 32, 32, tile=32, max_tiles=4)
+        assert not bool(out.mask.any())
+
+
+class TestInterpolate:
+    def test_vertex_colors(self):
+        v, f = simple_scene()
+        colors = jnp.asarray(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+             [1, 1, 0], [0, 1, 1], [1, 0, 1]], jnp.float32
+        )
+        out = rasterize(v, f, 64, 64, tile=32, max_tiles=4)
+        img = interpolate(colors, f, out)
+        m = np.asarray(out.mask)
+        img_np = np.asarray(img)
+        assert (img_np[m].sum(-1) > 0.99).all()
+        assert (img_np[~m] == 0).all()
+
+    def test_attr_gradients_flow(self):
+        v, f = simple_scene()
+        out = rasterize(v, f, 64, 64, tile=32, max_tiles=4)
+
+        def loss(colors):
+            return jnp.sum(interpolate(colors, f, out) ** 2)
+
+        g = jax.grad(loss)(jnp.ones((6, 3)))
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_vertex_position_gradients_flow(self):
+        v, f = simple_scene()
+        colors = jnp.asarray(np.random.default_rng(0).random((6, 3)),
+                             jnp.float32)
+
+        def loss(verts):
+            out = rasterize(verts, f, 64, 64, tile=32, max_tiles=4)
+            return jnp.sum(interpolate(colors, f, out) ** 2)
+
+        g = jax.grad(loss)(v)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)[:, :2]).max() > 0
+
+
+class TestTexture:
+    def test_bilinear_exact_on_grid(self):
+        tex = jnp.arange(16.0).reshape(4, 4, 1)
+        uv = jnp.asarray([[[1.0 / 3.0, 2.0 / 3.0]]])  # texel (x=1, y=2)
+        out = sample_texture(tex, uv)
+        np.testing.assert_allclose(float(out[0, 0, 0]), 9.0, atol=1e-5)
+
+    def test_gradients_to_texture(self):
+        uv = jnp.asarray(np.random.default_rng(0).random((8, 8, 2)),
+                         jnp.float32)
+
+        def loss(tex):
+            return jnp.sum(sample_texture(tex, uv) ** 2)
+
+        g = jax.grad(loss)(jnp.ones((16, 16, 3)))
+        assert np.abs(np.asarray(g)).sum() > 0

@@ -1,0 +1,155 @@
+"""Stage-1 CLI: image/text -> 3D gaussians (+ mesh export).
+
+Equivalent of the reference ``python main.py --config configs/image.yaml
+input=... save_path=...`` (/root/reference/main.py:901-917). Accepts the
+same YAML keys and dotlist overrides.
+
+Guidance selection mirrors the reference (main.py:122-160): zero123 when
+an input image is given (lambda_zero123 > 0), SD/MVDream for text prompts
+(lambda_sd > 0). Real pretrained backbones load from ``sd_ckpt`` /
+``zero123_ckpt`` directories (torch checkpoints converted on the fly);
+with no checkpoint available, ``fake_guidance=True`` runs the full
+pipeline with a tiny random denoiser (exercises every code path; no
+semantic prior), and the default is RGB-only optimization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_guidances(opt, ref_rgb):
+    """Returns (guidance_fns tuple for the trainer, refine_fns for export)."""
+    guidance_fns = []
+    lam_sd = opt.get("lambda_sd", 0)
+    lam_123 = opt.get("lambda_zero123", 0)
+    prompt = opt.get("prompt", "")
+    use_fake = opt.get("fake_guidance", False)
+
+    if lam_123 > 0 and ref_rgb is not None:
+        ckpt = opt.get("zero123_ckpt", None)
+        if ckpt:
+            from ..guidance.loader import load_zero123
+
+            g = load_zero123(
+                ckpt, stable=opt.get("stable_zero123", False),
+                default_elevation=opt.get("elevation", 0),
+            )
+            guidance_fns.append((lam_123, g.guidance_fn()))
+        elif use_fake:
+            from ..guidance.fake import fake_zero123_guidance
+
+            g = fake_zero123_guidance(
+                stable=opt.get("stable_zero123", False),
+                default_elevation=opt.get("elevation", 0),
+            )
+            guidance_fns.append((lam_123, g.guidance_fn()))
+        else:
+            print("[WARN] lambda_zero123 > 0 but no zero123_ckpt given and "
+                  "fake_guidance=False; skipping zero123 guidance")
+    if lam_sd > 0 and prompt:
+        ckpt = opt.get("sd_ckpt", None)
+        if ckpt:
+            from ..guidance.loader import load_stable_diffusion
+
+            g = load_stable_diffusion(
+                ckpt, prompt=prompt,
+                negative_prompt=opt.get("negative_prompt", ""),
+                mvdream=opt.get("mvdream", False),
+            )
+            guidance_fns.append((lam_sd, g.guidance_fn()))
+        elif use_fake:
+            from ..guidance.fake import fake_sd_guidance
+
+            g = fake_sd_guidance()
+            guidance_fns.append((lam_sd, g.guidance_fn()))
+        else:
+            print("[WARN] lambda_sd > 0 but no sd_ckpt given and "
+                  "fake_guidance=False; skipping SD guidance")
+    return tuple(guidance_fns)
+
+
+def run(opt) -> dict:
+    import jax
+
+    if opt.get("jax_cache", True):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ..train import Stage1Trainer
+    from .process import load_rgba
+
+    ref_rgb = ref_mask = None
+    if opt.get("input", None):
+        rgba = load_rgba(opt.input, size=opt.get("ref_size", 256))
+        ref_mask = rgba[..., 3]
+        ref_rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
+
+    guidance_fns = build_guidances(opt, ref_rgb)
+
+    trainer = Stage1Trainer(
+        opt,
+        ref_rgb=ref_rgb,
+        ref_mask=ref_mask,
+        guidance_fns=guidance_fns,
+        capacity=opt.get("capacity", 16384),
+        seed=opt.get("seed", 0),
+    )
+    stats = trainer.train(opt.get("iters", 500))
+    print(f"[INFO] stage 1 done: {stats}")
+
+    outdir = opt.get("outdir", "logs")
+    os.makedirs(outdir, exist_ok=True)
+    save_path = opt.save_path
+
+    ply_path = os.path.join(outdir, f"{save_path}_model.ply")
+    n = trainer.save_ply(ply_path)
+    print(f"[INFO] saved {n} gaussians to {ply_path}")
+
+    if opt.get("save_mesh", True):
+        from ..meshing.export import export_textured_mesh
+
+        mesh_path = os.path.join(
+            outdir, f"{save_path}_mesh.{opt.get('mesh_format', 'obj')}"
+        )
+
+        def render_fn(cam):
+            out = trainer.render_view(cam)
+            return np.asarray(out.image)
+
+        export_textured_mesh(
+            trainer.params, trainer.aux.alive, render_fn, mesh_path,
+            fovy=trainer.fovy, radius=trainer.radius,
+            density_thresh=opt.get("density_thresh", 1.0),
+            texture_size=opt.get("texture_size", 1024),
+            bake_resolution=opt.get("bake_resolution", 512),
+            mc_resolution=opt.get("mc_resolution", 128),
+            decimate_target=opt.get("decimate_target", 100_000),
+        )
+        print(f"[INFO] saved textured mesh to {mesh_path}")
+        stats["mesh_path"] = mesh_path
+    stats["ply_path"] = ply_path
+    return stats
+
+
+def main(argv=None) -> None:
+    from ..utils.config import load_with_cli
+
+    ap = argparse.ArgumentParser(
+        description="dreamgaussian_tpu stage 1 (gaussian optimization)"
+    )
+    ap.add_argument("--config", required=True)
+    args, extras = ap.parse_known_args(argv)
+    opt = load_with_cli(args.config, extras)
+    run(opt)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

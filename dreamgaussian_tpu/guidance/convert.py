@@ -1,0 +1,259 @@
+"""Torch (diffusers-format) checkpoint -> Flax params conversion.
+
+Maps HF diffusers ``UNet2DConditionModel`` / ``AutoencoderKL`` state dicts
+onto the param trees of our NHWC Flax modules (guidance/unet.py, vae.py).
+The reference consumes these exact checkpoints — SD 2.1-base
+(/root/reference/guidance/sd_utils.py:33-45) and
+``ashawkey/zero123-xl-diffusers`` (/root/reference/main.py:156-159) — so a
+user can point ``sd_ckpt`` / ``zero123_ckpt`` at a downloaded snapshot and
+run without torch at inference time.
+
+Layout rules:
+- torch Linear weight [out, in]   -> flax Dense kernel [in, out] (T)
+- torch Conv weight OIHW          -> flax Conv kernel HWIO (2,3,1,0)
+- torch *Norm weight/bias         -> flax scale/bias
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path_or_dir: str, subfolder: str = "") -> dict:
+    """Load a state dict from a .safetensors / .bin file or a diffusers
+    model directory."""
+    root = os.path.join(path_or_dir, subfolder) if subfolder else path_or_dir
+    if os.path.isdir(root):
+        for name in (
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.bin",
+            "model.safetensors",
+            "pytorch_model.bin",
+        ):
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                root = p
+                break
+        else:
+            raise FileNotFoundError(f"no model weights found under {root}")
+    if root.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(root, framework="np") as f:
+            for k in f.keys():
+                out[k] = np.asarray(f.get_tensor(k))
+        return out
+    import torch
+
+    sd = torch.load(root, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _lin(sd, prefix):
+    p = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if prefix + ".bias" in sd:
+        p["bias"] = sd[prefix + ".bias"]
+    return p
+
+
+def _conv(sd, prefix):
+    return {
+        "kernel": np.ascontiguousarray(
+            sd[prefix + ".weight"].transpose(2, 3, 1, 0)
+        ),
+        "bias": sd[prefix + ".bias"],
+    }
+
+
+def _norm(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _gn32(sd, prefix):
+    """Our GroupNorm32 wraps an anonymous nn.GroupNorm submodule."""
+    return {"GroupNorm_0": _norm(sd, prefix)}
+
+
+def _resnet(sd, p):
+    out = {
+        "norm1": _gn32(sd, p + ".norm1"),
+        "conv1": _conv(sd, p + ".conv1"),
+        "time_emb_proj": _lin(sd, p + ".time_emb_proj"),
+        "norm2": _gn32(sd, p + ".norm2"),
+        "conv2": _conv(sd, p + ".conv2"),
+    }
+    if p + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _attention_block(sd, p, use_linear_projection: bool):
+    proj = _lin if use_linear_projection else _conv
+    out = {
+        "norm": _gn32(sd, p + ".norm"),
+        "proj_in": proj(sd, p + ".proj_in"),
+        "proj_out": proj(sd, p + ".proj_out"),
+    }
+    i = 0
+    while f"{p}.transformer_blocks.{i}.norm1.weight" in sd:
+        tp = f"{p}.transformer_blocks.{i}"
+        out[f"transformer_blocks_{i}"] = {
+            "norm1": _norm(sd, tp + ".norm1"),
+            "attn1": {
+                "to_q": _lin(sd, tp + ".attn1.to_q"),
+                "to_k": _lin(sd, tp + ".attn1.to_k"),
+                "to_v": _lin(sd, tp + ".attn1.to_v"),
+                "to_out_0": _lin(sd, tp + ".attn1.to_out.0"),
+            },
+            "norm2": _norm(sd, tp + ".norm2"),
+            "attn2": {
+                "to_q": _lin(sd, tp + ".attn2.to_q"),
+                "to_k": _lin(sd, tp + ".attn2.to_k"),
+                "to_v": _lin(sd, tp + ".attn2.to_v"),
+                "to_out_0": _lin(sd, tp + ".attn2.to_out.0"),
+            },
+            "norm3": _norm(sd, tp + ".norm3"),
+            "ff": {
+                "net_0_proj": _lin(sd, tp + ".ff.net.0.proj"),
+                "net_2": _lin(sd, tp + ".ff.net.2"),
+            },
+        }
+        i += 1
+    return out
+
+
+def convert_unet(sd: Mapping[str, np.ndarray], config) -> dict:
+    """diffusers UNet2DConditionModel state dict -> our UNet params."""
+    p: dict = {
+        "time_embedding": {
+            "linear_1": _lin(sd, "time_embedding.linear_1"),
+            "linear_2": _lin(sd, "time_embedding.linear_2"),
+        },
+        "conv_in": _conv(sd, "conv_in"),
+        "conv_norm_out": _gn32(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    if "camera_embedding.linear_1.weight" in sd:
+        p["camera_embedding"] = {
+            "linear_1": _lin(sd, "camera_embedding.linear_1"),
+            "linear_2": _lin(sd, "camera_embedding.linear_2"),
+        }
+    ulp = config.use_linear_projection
+    for i, btype in enumerate(config.down_block_types):
+        for j in range(config.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _resnet(
+                sd, f"down_blocks.{i}.resnets.{j}"
+            )
+            if btype == "CrossAttnDownBlock2D":
+                p[f"down_{i}_attn_{j}"] = _attention_block(
+                    sd, f"down_blocks.{i}.attentions.{j}", ulp
+                )
+        if i < len(config.block_out_channels) - 1:
+            p[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")
+            }
+    p["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_attn"] = _attention_block(sd, "mid_block.attentions.0", ulp)
+    p["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
+    for i, btype in enumerate(config.up_block_types):
+        for j in range(config.layers_per_block + 1):
+            p[f"up_{i}_res_{j}"] = _resnet(sd, f"up_blocks.{i}.resnets.{j}")
+            if btype == "CrossAttnUpBlock2D":
+                p[f"up_{i}_attn_{j}"] = _attention_block(
+                    sd, f"up_blocks.{i}.attentions.{j}", ulp
+                )
+        if i < len(config.up_block_types) - 1:
+            p[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
+            }
+    return {"params": p}
+
+
+def _vae_resnet(sd, p):
+    out = {
+        "norm1": _gn32(sd, p + ".norm1"),
+        "conv1": _conv(sd, p + ".conv1"),
+        "norm2": _gn32(sd, p + ".norm2"),
+        "conv2": _conv(sd, p + ".conv2"),
+    }
+    if p + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _vae_attn(sd, p):
+    return {
+        "group_norm": _gn32(sd, p + ".group_norm"),
+        "to_q": _lin(sd, p + ".to_q"),
+        "to_k": _lin(sd, p + ".to_k"),
+        "to_v": _lin(sd, p + ".to_v"),
+        "to_out_0": _lin(sd, p + ".to_out.0"),
+    }
+
+
+def convert_vae(sd: Mapping[str, np.ndarray], config) -> dict:
+    """diffusers AutoencoderKL state dict -> our AutoencoderKL params."""
+    n_blocks = len(config.block_out_channels)
+    enc: dict = {"conv_in": _conv(sd, "encoder.conv_in")}
+    for i in range(n_blocks):
+        for j in range(config.layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _vae_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}"
+            )
+        if i < n_blocks - 1:
+            enc[f"down_{i}_downsample"] = _conv(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv"
+            )
+    enc["mid_res_0"] = _vae_resnet(sd, "encoder.mid_block.resnets.0")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.mid_block.attentions.0")
+    enc["mid_res_1"] = _vae_resnet(sd, "encoder.mid_block.resnets.1")
+    enc["conv_norm_out"] = _gn32(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+    enc["quant_conv"] = _conv(sd, "quant_conv")
+
+    dec: dict = {
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "mid_res_0": _vae_resnet(sd, "decoder.mid_block.resnets.0"),
+        "mid_attn": _vae_attn(sd, "decoder.mid_block.attentions.0"),
+        "mid_res_1": _vae_resnet(sd, "decoder.mid_block.resnets.1"),
+        "conv_norm_out": _gn32(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+    }
+    for i in range(n_blocks):
+        for j in range(config.layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _vae_resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}"
+            )
+        if i < n_blocks - 1:
+            dec[f"up_{i}_upsample"] = _conv(
+                sd, f"decoder.up_blocks.{i}.upsamplers.0.conv"
+            )
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def assert_tree_shapes_match(converted: dict, reference: dict, path="") -> None:
+    """Recursively compare converted params against a module's init tree."""
+    ck = set(converted)
+    rk = set(reference)
+    if ck != rk:
+        raise ValueError(
+            f"param key mismatch at '{path}': only-converted={ck - rk}, "
+            f"only-model={rk - ck}"
+        )
+    for k in ck:
+        c, r = converted[k], reference[k]
+        if isinstance(r, dict):
+            assert_tree_shapes_match(c, r, f"{path}/{k}")
+        else:
+            if tuple(np.shape(c)) != tuple(np.shape(r)):
+                raise ValueError(
+                    f"shape mismatch at '{path}/{k}': "
+                    f"{np.shape(c)} vs {np.shape(r)}"
+                )

@@ -282,12 +282,16 @@ class Upsample(nn.Module):
 
 
 class UNet(nn.Module):
-    """Denoising UNet. Inputs NHWC latents, [B] timesteps, [B,L,D] context."""
+    """Denoising UNet. Inputs NHWC latents, [B] timesteps, [B,L,D] context.
+
+    ``camera_emb`` (optional [B, camera_dim]): MVDream/ImageDream-style
+    camera conditioning, embedded by a second MLP and ADDED to the time
+    embedding (the mvdream UNet's ``camera_embed`` pathway)."""
 
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, sample, timesteps, context):
+    def __call__(self, sample, timesteps, context, camera_emb=None):
         cfg = self.config
         dt = cfg.dtype
         ch0 = cfg.block_out_channels[0]
@@ -297,6 +301,10 @@ class UNet(nn.Module):
             timesteps, ch0, cfg.flip_sin_to_cos, cfg.freq_shift
         ).astype(dt)
         temb = TimeEmbedding(temb_dim, dt, name="time_embedding")(temb)
+        if camera_emb is not None:
+            temb = temb + TimeEmbedding(
+                temb_dim, dt, name="camera_embedding"
+            )(camera_emb.astype(dt))
 
         sample = sample.astype(dt)
         context = context.astype(dt)

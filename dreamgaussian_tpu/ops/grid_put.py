@@ -46,12 +46,15 @@ def _bilinear_scatter(h: int, w: int, coords, values):
     return accum, count
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def linear_grid_put_2d(h: int, w: int, coords, values):
-    """Bilinear scatter-mean. Returns (grid [H, W, C], count [H, W])."""
+@functools.partial(jax.jit, static_argnames=("h", "w", "return_count"))
+def linear_grid_put_2d(h: int, w: int, coords, values, return_count=False):
+    """Bilinear scatter. With return_count: RAW (sum [H,W,C], count [H,W])
+    — the reference's accumulate-across-views contract
+    (/root/reference/grid_put.py:83-128). Otherwise the normalized mean."""
     accum, count = _bilinear_scatter(h, w, coords, values)
-    grid = accum / jnp.maximum(count[..., None], 1e-10)
-    return grid, count
+    if return_count:
+        return accum, count
+    return accum / jnp.maximum(count[..., None], 1e-10)
 
 
 def mipmap_linear_grid_put_2d(
@@ -62,30 +65,31 @@ def mipmap_linear_grid_put_2d(
     min_resolution: int = 128,
     return_count: bool = False,
 ):
-    """Bilinear scatter-mean with coarse-to-fine hole filling
-    (/root/reference/grid_put.py:129-159): texels with no sample at full
-    res inherit the value scattered at the first coarser mip that saw
-    them."""
+    """Bilinear scatter with coarse-to-fine hole filling
+    (/root/reference/grid_put.py:129-159): texels unseen at full res
+    accumulate the (upsampled) raw sums of the first coarser mip that saw
+    them. With return_count: raw (sum, count); else the normalized mean."""
     result = jnp.zeros((h, w, values.shape[-1]), values.dtype)
     count = jnp.zeros((h, w), values.dtype)
 
     cur_h, cur_w = h, w
-    while min(cur_h, cur_w) >= min_resolution:
-        grid, cnt = linear_grid_put_2d(cur_h, cur_w, coords, values)
+    while min(cur_h, cur_w) > min_resolution:
+        grid, cnt = linear_grid_put_2d(
+            cur_h, cur_w, coords, values, return_count=True
+        )
         if (cur_h, cur_w) != (h, w):
             grid = jax.image.resize(grid, (h, w, grid.shape[-1]), "bilinear")
             cnt = jax.image.resize(cnt, (h, w), "bilinear")
-        hole = count < 1e-8
-        result = jnp.where(hole[..., None], grid * (cnt[..., None] > 1e-8),
-                           result)
-        count = jnp.where(hole, (cnt > 1e-8).astype(count.dtype), count)
+        hole = count == 0
+        result = jnp.where(hole[..., None], result + grid, result)
+        count = jnp.where(hole, count + cnt, count)
         cur_h //= 2
         cur_w //= 2
         if bool(jnp.all(count > 0)):
             break
     if return_count:
         return result, count
-    return result
+    return result / jnp.maximum(count[..., None], 1e-10)
 
 
 def knn_inpaint(grid: np.ndarray, mask: np.ndarray, k: int = 1) -> np.ndarray:

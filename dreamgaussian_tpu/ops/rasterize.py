@@ -43,32 +43,49 @@ class GaussianRender(NamedTuple):
     radii: jnp.ndarray   # [N] int32 (0 => culled/invisible)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _composite(dup_feat, chunk_starts, n_chunks, grid_x, num_tiles, chunk,
-               tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _composite(dup_feat, chunk_starts, n_chunks, tile_offset, grid_x,
+               num_tiles, chunk, tile):
     return composite_forward(
-        dup_feat, chunk_starts, n_chunks,
+        dup_feat, chunk_starts, n_chunks, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
     )
 
 
-def _composite_fwd(dup_feat, chunk_starts, n_chunks, grid_x, num_tiles, chunk,
-                   tile):
+def _composite_fwd(dup_feat, chunk_starts, n_chunks, tile_offset, grid_x,
+                   num_tiles, chunk, tile):
     out = composite_forward(
-        dup_feat, chunk_starts, n_chunks,
+        dup_feat, chunk_starts, n_chunks, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
     )
-    return out, (dup_feat, chunk_starts, n_chunks, out)
+    return out, (dup_feat, chunk_starts, n_chunks, tile_offset, out)
 
 
 def _composite_bwd(grid_x, num_tiles, chunk, tile, residuals, g_out):
-    dup_feat, chunk_starts, n_chunks, out = residuals
+    dup_feat, chunk_starts, n_chunks, tile_offset, out = residuals
     d_feat = composite_backward(
-        dup_feat, chunk_starts, n_chunks, out, g_out,
+        dup_feat, chunk_starts, n_chunks, out, g_out, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
     )
+    # The kernel only writes slots belonging to the tiles it processed;
+    # zero the rest (the aligned tail, and — under tile sharding — other
+    # shards' tile ranges, whose slots map to REAL gaussians).
+    k_aligned = dup_feat.shape[1]
+    n_ch = (k_aligned + chunk - 1) // chunk
+    ch = jnp.arange(n_ch, dtype=jnp.int32)
+    covered = jnp.any(
+        (ch[:, None] >= chunk_starts[None, :])
+        & (ch[:, None] < chunk_starts[None, :] + n_chunks[None, :]),
+        axis=1,
+    )
+    # where(), not multiply: uninitialized slots can hold inf/nan and
+    # 0 * inf = nan would leak through a multiplicative mask.
+    d_feat = jnp.where(
+        jnp.repeat(covered, chunk)[None, :k_aligned], d_feat, 0.0
+    )
     zero_i = np.zeros(chunk_starts.shape, dtype=jax.dtypes.float0)
-    return d_feat, zero_i, zero_i
+    zero_o = np.zeros((1,), dtype=jax.dtypes.float0)
+    return d_feat, zero_i, zero_i, zero_o
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -124,8 +141,8 @@ def rasterize_projected(
 
     dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)  # [FEAT_ROWS, K_aligned]
     out = _composite(
-        dup_feat, bins.chunk_starts, bins.n_chunks, grid_x, num_tiles, chunk,
-        tile,
+        dup_feat, bins.chunk_starts, bins.n_chunks,
+        jnp.zeros((1,), jnp.int32), grid_x, num_tiles, chunk, tile,
     )  # [T, tile*tile, OUT_CH]
 
     hw = out.reshape(grid_y, grid_x, tile, tile, OUT_CH)

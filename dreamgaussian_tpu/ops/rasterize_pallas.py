@@ -119,13 +119,14 @@ def _tri_masks(c):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, out_ref, buf, sems,
-                *, grid_x: int, chunk: int, tile: int):
+def _fwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, out_ref,
+                buf, sems, *, grid_x: int, chunk: int, tile: int):
     pix = tile * tile
     t = pl.program_id(0)
     n_chunks = n_chunks_ref[t]
     start = chunk_start_ref[t]
-    px, py = _pixel_coords(t, grid_x, tile)
+    # off_ref: global id of this shard's first tile (tile sharding).
+    px, py = _pixel_coords(t + off_ref[0], grid_x, tile)
     strict_upper, _, _ = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -195,14 +196,14 @@ def _fwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, out_ref, buf, sems,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk_start_ref, n_chunks_ref, feat_hbm, fwd_ref, gout_ref,
-                dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int, chunk: int,
-                tile: int):
+def _bwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, fwd_ref,
+                gout_ref, dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int,
+                chunk: int, tile: int):
     pix = tile * tile
     t = pl.program_id(0)
     n_chunks = n_chunks_ref[t]
     start = chunk_start_ref[t]
-    px, py = _pixel_coords(t, grid_x, tile)
+    px, py = _pixel_coords(t + off_ref[0], grid_x, tile)
     _, incl_lower, strict_lower = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -318,18 +319,20 @@ def _use_interpret() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
 )
-def composite_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles,
-                      chunk, tile=TILE):
+def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
+                      *, grid_x, num_tiles, chunk, tile=TILE):
     """Run the forward tile kernel.
 
     dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated features.
     Returns [num_tiles, tile*tile, OUT_CH].
     """
     pix = tile * tile
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
                                tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -345,21 +348,24 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, pix, OUT_CH), _f32),
         interpret=_use_interpret(),
-    )(chunk_starts, n_chunks, dup_feat)
+    )(chunk_starts, n_chunks, tile_offset, dup_feat)
 
 
 @functools.partial(
     jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
 )
 def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
-                       *, grid_x, num_tiles, chunk, tile=TILE):
+                       tile_offset=None, *, grid_x, num_tiles, chunk,
+                       tile=TILE):
     """Run the backward tile kernel -> per-duplicate feature gradients."""
     pix = tile * tile
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                tile=tile)
     k_aligned = dup_feat.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -381,5 +387,5 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_aligned), _f32),
         interpret=_use_interpret(),
-    )(chunk_starts, n_chunks, dup_feat, fwd_out, g_out)
+    )(chunk_starts, n_chunks, tile_offset, dup_feat, fwd_out, g_out)
     return out

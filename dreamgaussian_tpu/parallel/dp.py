@@ -68,14 +68,37 @@ def make_dp_train_step(
     guidance_fns: tuple = (),
     max_tiles: int = 12,
     chunk: int = 128,
+    tile_axis: str | None = None,
 ) -> Callable:
     """Jitted multi-chip train step.
 
-    Expects novel cameras stacked as [n_devices * views_per_device, ...]
-    (sharded over 'data'); params/adam/aux replicated. Returns
-    (params, adam, aux, loss) with identical replicated values.
+    Expects novel cameras stacked as [data_size * views_per_device, ...]
+    (sharded over 'data'); params/adam/aux replicated. With ``tile_axis``
+    set (2D data x tile mesh), each render additionally shards its tile
+    grid over that axis — DP x SP composition. Returns (params, adam,
+    aux, loss) with identical replicated values.
     """
-    n_dev = mesh.devices.size
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+
+    if tile_axis is not None:
+        from .tile_shard import render_gaussians_tile_sharded
+
+        def render_one(params, cam, bg, w, h, deg, alive, tap=None):
+            act_scale = jnp.exp(params["scaling"])
+            act_op = jax.nn.sigmoid(params["opacity"][:, 0])
+            shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+            return render_gaussians_tile_sharded(
+                params["xyz"], act_scale, params["rotation"], act_op, shs,
+                cam["view"], cam["full_proj"], cam["campos"], cam["tanfov"],
+                w, h, bg, sh_degree=deg, alive=alive, mean2d_tap=tap,
+                axis_name=tile_axis, max_tiles=max_tiles, chunk=chunk,
+            )
+    else:
+        def render_one(params, cam, bg, w, h, deg, alive, tap=None):
+            return _render_one(
+                params, cam, bg, w, h, deg, alive, tap=tap,
+                max_tiles=max_tiles, chunk=chunk,
+            )
 
     def local_loss_fn(params, tap, step, known_cams, novel_cams, bg,
                       ref_rgb, ref_mask, key, cond, alive):
@@ -83,9 +106,9 @@ def make_dp_train_step(
         w = step_ratio if warmup_rgb_loss else 1.0
         loss = 0.0
         if use_known_view:
-            out = _render_one(
+            out = render_one(
                 params, known_cams, jnp.ones(3), ref_size, ref_size,
-                sh_degree, alive, max_tiles=max_tiles, chunk=chunk,
+                sh_degree, alive,
             )
             known = (
                 10000.0 * w * jnp.mean((out.image - ref_rgb) ** 2)
@@ -96,9 +119,9 @@ def make_dp_train_step(
         radii_sum = jnp.zeros((params["xyz"].shape[0],), jnp.int32)
         for b in range(views_per_device):
             cam_b = {k: v[b] for k, v in novel_cams.items()}
-            out = _render_one(
+            out = render_one(
                 params, cam_b, bg, novel_size, novel_size, sh_degree, alive,
-                tap=tap, max_tiles=max_tiles, chunk=chunk,
+                tap=tap,
             )
             images.append(out.image)
             radii_sum = jnp.maximum(radii_sum, out.radii)

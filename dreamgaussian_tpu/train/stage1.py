@@ -122,7 +122,7 @@ def make_train_step(
 
     @jax.jit
     def step_fn(params, adam, aux, step, known_cams, novel_cams, bg,
-                ref_rgb, ref_mask, key, cond):
+                ref_rgb, ref_mask, key, cond, accum_stats):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, radii), (grads, tap_grad) = grad_fn(
@@ -142,9 +142,14 @@ def make_train_step(
         params, adam = adam_update(params, grads, adam, lrs)
 
         if radii is not None:
-            # CUDA reports dL/dmean2D in half-image units.
+            # Stats only accumulate inside the densification window
+            # (/root/reference/main.py:277-281). CUDA reports dL/dmean2D in
+            # half-image units.
             scaled = jnp.nan_to_num(tap_grad) * (novel_size / 2.0)
-            aux = accumulate_stats(aux, scaled, radii)
+            new_aux = accumulate_stats(aux, scaled, radii)
+            aux = jax.tree.map(
+                lambda a, b: jnp.where(accum_stats, b, a), aux, new_aux
+            )
         return params, adam, aux, loss
 
     return step_fn
@@ -321,17 +326,19 @@ class Stage1Trainer:
             else jnp.zeros((self.ref_size, self.ref_size))
         )
 
+        in_window = (
+            opt.get("density_start_iter", 100)
+            <= self.step
+            <= opt.get("density_end_iter", 3000)
+        )
         step_fn = self._get_step_fn(size)
         self.params, self.adam, self.aux, loss = step_fn(
             self.params, self.adam, self.aux, jnp.float32(self.step),
             known, novel, bg, ref_rgb, ref_mask, k_step, cond,
+            jnp.asarray(in_window),
         )
 
-        if (
-            opt.get("density_start_iter", 100)
-            <= self.step
-            <= opt.get("density_end_iter", 3000)
-        ):
+        if in_window:
             if self.step % opt.get("densification_interval", 100) == 0:
                 self.key, k_d = jax.random.split(self.key)
                 self.params, self.adam, self.aux = self._densify(

@@ -1,0 +1,291 @@
+"""Stage-2 trainer: UV-texture (and optional geometry) refinement.
+
+Equivalent of the reference ``main2.py`` training loop
+(/root/reference/main2.py:166-283):
+
+- known-view loss: mse(image * valid, ref * valid) with
+  valid = (alpha > 0) & (viewcos > 0.5), SSAA jittered per step;
+- novel views at 512 with the same orbit sampling as stage 1;
+- refinement loss: the diffusion prior's img2img ``refine`` of the
+  current render (strength = 0.8 + 0.15 * step_ratio, no grad) becomes an
+  MSE target — "SDS++" (/root/reference/main2.py:240-258);
+- Adam: texture_lr on raw_albedo, geom_lr on v_offsets when train_geo.
+
+TPU adaptations: SSAA sampled from {0.5, 1, 2} (three compiled shapes
+instead of a continuous jitter), and each step renders twice — once
+forward for the refine target, once inside the jitted grad step (mesh
+renders are cheap; the refine UNet loop dominates).
+
+refine_fns contract: tuple of (weight, fn) with
+fn(images [B,H,W,3], cond, strength, key) -> refined images (no grad).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.mesh_renderer import MeshRendererState, render_mesh
+from ..scene.optim import AdamState, adam_init, adam_update
+from ..utils.camera import Camera, orbit_camera
+
+SSAA_CHOICES = (0.5, 1.0, 2.0)
+
+
+class Stage2Trainer:
+    def __init__(
+        self,
+        opt: Any,
+        mesh,
+        ref_rgb: np.ndarray | None = None,
+        ref_mask: np.ndarray | None = None,
+        refine_fns: tuple = (),
+        cond: dict | None = None,
+        seed: int = 0,
+    ):
+        self.opt = opt
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.mesh = mesh
+        self.state = MeshRendererState.from_mesh(mesh)
+        self.train_geo = bool(opt.get("train_geo", False))
+        self.refine_fns = refine_fns
+        self.cond = cond or {}
+
+        self.params = self.state.trainable(self.train_geo)
+        self.adam = adam_init(self.params)
+        self.lrs = {
+            "raw_albedo": opt.get("texture_lr", 0.2),
+            "v_offsets": opt.get("geom_lr", 1e-4),
+        }
+
+        self.ref_size = opt.get("ref_size", 256)
+        self.ref_rgb = (
+            jnp.asarray(ref_rgb, jnp.float32) if ref_rgb is not None else None
+        )
+        self.ref_mask = (
+            jnp.asarray(ref_mask, jnp.float32) if ref_mask is not None else None
+        )
+        self.use_known_view = (
+            ref_rgb is not None and not opt.get("imagedream", False)
+        )
+
+        self.fovy = np.radians(opt.get("fovy", 49.1))
+        self.radius = opt.get("radius", 2.0)
+        self.elevation = opt.get("elevation", 0.0)
+        front_hor = 90 if (opt.get("mvdream") or opt.get("imagedream")) else 0
+        self.fixed_cam = Camera.from_pose(
+            orbit_camera(self.elevation, front_hor, self.radius),
+            self.ref_size, self.ref_size, self.fovy, self.fovy,
+        )
+        self.n_views = 4 if (opt.get("mvdream") or opt.get("imagedream")) else 1
+        self.batch_size = opt.get("batch_size", 1)
+        self.render_resolution = opt.get("novel_resolution", 512)
+
+        self._grad_steps: dict = {}
+        self._fwd_renders: dict = {}
+
+    # ------------------------------------------------------------------
+
+    def _sample_ssaa(self) -> float:
+        return SSAA_CHOICES[int(self.rng.integers(0, len(SSAA_CHOICES)))]
+
+    def _sample_novel(self):
+        opt = self.opt
+        min_ver = max(
+            min(opt.get("min_ver", -30), opt.get("min_ver", -30) - self.elevation),
+            -80 - self.elevation,
+        )
+        max_ver = min(
+            max(opt.get("max_ver", 30), opt.get("max_ver", 30) - self.elevation),
+            80 - self.elevation,
+        )
+        cams, poses, vers, hors = [], [], [], []
+        size = self.render_resolution
+        for _ in range(self.batch_size):
+            ver = int(self.rng.integers(min_ver, max_ver))
+            hor = int(self.rng.integers(-180, 180))
+            vers.append(ver)
+            hors.append(hor)
+            for i in range(self.n_views):
+                pose = orbit_camera(
+                    self.elevation + ver, hor + 90 * i, self.radius
+                )
+                poses.append(pose)
+                cams.append(
+                    Camera.from_pose(pose, size, size, self.fovy, self.fovy)
+                )
+        return cams, np.stack(poses), np.array(vers, np.float32), np.array(
+            hors, np.float32
+        )
+
+    def _render_fwd(self, cam: Camera, ssaa: float, size: int):
+        """Cached jitted forward render (no grad) for refine targets."""
+        key = (size, ssaa)
+        if key not in self._fwd_renders:
+            def fwd(params, view, full_proj, rot):
+                st = self.state.with_params(params)
+                return render_mesh(
+                    st, {"view": view, "full_proj": full_proj}, rot,
+                    size, size, ssaa=ssaa, train_geo=self.train_geo,
+                )["image"]
+
+            self._fwd_renders[key] = jax.jit(fwd)
+        arr = cam.arrays()
+        # c2w rotation = inverse of the OpenGL w2c — recover from view quirk:
+        # Camera stores the rectified w2c; use the orbit pose rotation.
+        return self._fwd_renders[key](
+            self.params, jnp.asarray(arr["view"]),
+            jnp.asarray(arr["full_proj"]), self._pose_rot(cam),
+        )
+
+    @staticmethod
+    def _pose_rot(cam: Camera):
+        # view is the rectified w2c: rows 1:3 negated. Undo to get w2c, then
+        # transpose for c2w rotation.
+        w2c = np.asarray(cam.view[:3, :3]).copy()
+        w2c[1:3] *= -1
+        return jnp.asarray(w2c.T)
+
+    def _get_grad_step(self, n_novel: int, ssaa_known: float, ssaa_novel: float):
+        key = (n_novel, ssaa_known, ssaa_novel)
+        if key in self._grad_steps:
+            return self._grad_steps[key]
+        size = self.render_resolution
+        ref_size = self.ref_size
+        use_known = self.use_known_view
+        train_geo = self.train_geo
+        lambda_refine = [w for w, _ in self.refine_fns]
+
+        def loss_fn(params, known_arr, known_rot, novel_arrs, novel_rots,
+                    targets, ref_rgb, ref_mask):
+            st = self.state.with_params(params)
+            loss = 0.0
+            if use_known:
+                out = render_mesh(
+                    st, known_arr, known_rot, ref_size, ref_size,
+                    ssaa=ssaa_known, train_geo=train_geo,
+                )
+                valid = jax.lax.stop_gradient(
+                    (out["alpha"] > 0) & (out["viewcos"] > 0.5)
+                ).astype(jnp.float32)
+                loss += jnp.mean(((out["image"] - ref_rgb) * valid) ** 2)
+            for b in range(n_novel):
+                arr = {k: v[b] for k, v in novel_arrs.items()}
+                out = render_mesh(
+                    st, arr, novel_rots[b], size, size,
+                    ssaa=ssaa_novel, train_geo=train_geo,
+                )
+                for lam in lambda_refine:
+                    loss += lam * jnp.mean((out["image"] - targets[b]) ** 2)
+            return loss
+
+        @jax.jit
+        def step_fn(params, adam, known_arr, known_rot, novel_arrs,
+                    novel_rots, targets, ref_rgb, ref_mask, lrs):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, known_arr, known_rot, novel_arrs, novel_rots,
+                targets, ref_rgb, ref_mask,
+            )
+            grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
+            params, adam = adam_update(params, grads, adam, lrs)
+            return params, adam, loss
+
+        self._grad_steps[key] = step_fn
+        return step_fn
+
+    # ------------------------------------------------------------------
+
+    def train_step(self) -> float:
+        self.step += 1
+        step_ratio = min(1.0, self.step / self.opt.get("iters_refine", 50))
+        ssaa_known = self._sample_ssaa()
+        ssaa_novel = self._sample_ssaa()
+
+        cams, poses, vers, hors = self._sample_novel()
+        size = self.render_resolution
+
+        # Forward renders for refine targets.
+        images = jnp.stack(
+            [self._render_fwd(c, ssaa_novel, size) for c in cams]
+        )
+        strength = step_ratio * 0.15 + 0.8
+        cond = dict(self.cond)
+        cond["vers"] = jnp.asarray(vers)
+        cond["hors"] = jnp.asarray(hors)
+        cond["radii"] = jnp.zeros_like(jnp.asarray(vers))
+        cond["poses"] = jnp.asarray(poses)
+
+        targets = images
+        for _, refine in self.refine_fns:
+            self.key, k = jax.random.split(self.key)
+            targets = refine(images, cond, strength, k)
+            targets = jax.image.resize(
+                jnp.asarray(targets), images.shape, "bilinear"
+            )
+        targets = jax.lax.stop_gradient(targets)
+
+        novel_arrs_list = [c.arrays() for c in cams]
+        novel_arrs = {
+            k: jnp.stack([jnp.asarray(a[k]) for a in novel_arrs_list])
+            for k in ("view", "full_proj")
+        }
+        novel_rots = jnp.stack([self._pose_rot(c) for c in cams])
+        known_arr = {
+            k: jnp.asarray(v)
+            for k, v in self.fixed_cam.arrays().items()
+            if k in ("view", "full_proj")
+        }
+        known_rot = self._pose_rot(self.fixed_cam)
+        ref_rgb = (
+            self.ref_rgb if self.ref_rgb is not None
+            else jnp.zeros((self.ref_size, self.ref_size, 3))
+        )
+        ref_mask = (
+            self.ref_mask if self.ref_mask is not None
+            else jnp.zeros((self.ref_size, self.ref_size))
+        )
+
+        step_fn = self._get_grad_step(len(cams), ssaa_known, ssaa_novel)
+        self.params, self.adam, loss = step_fn(
+            self.params, self.adam, known_arr, known_rot, novel_arrs,
+            novel_rots, targets, ref_rgb, ref_mask, self.lrs,
+        )
+        return float(loss)
+
+    def train(self, iters: int | None = None, log_every: int = 10) -> dict:
+        iters = iters if iters is not None else self.opt.get("iters_refine", 50)
+        t0 = time.perf_counter()
+        loss = float("nan")
+        for _ in range(iters):
+            loss = self.train_step()
+            if log_every and self.step % log_every == 0:
+                print(f"[stage2] step {self.step} loss {loss:.6f}")
+        return {"loss": loss, "wall_s": time.perf_counter() - t0}
+
+    def export_mesh(self, path: str):
+        """Write the refined mesh (mesh_renderer.py:72-76)."""
+        self.mesh.v = np.asarray(
+            self.state.v + self.params.get(
+                "v_offsets", jnp.zeros_like(self.state.v)
+            )
+        )
+        self.mesh.albedo = np.asarray(
+            jax.nn.sigmoid(self.params["raw_albedo"])
+        )
+        self.mesh.write(path)
+        return self.mesh
+
+    def render_view(self, cam: Camera, ssaa: float = 1.0):
+        st = self.state.with_params(self.params)
+        arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        return render_mesh(
+            st, arr, self._pose_rot(cam), cam.height, cam.width, ssaa=ssaa,
+            train_geo=self.train_geo,
+        )

@@ -99,7 +99,7 @@ class TestDP:
         p_s, _, _, loss_s = single_fn(
             params, adam, aux, jnp.float32(1.0), known,
             {k: jnp.asarray(v) for k, v in views.items()},
-            jnp.ones(3), ref_rgb, ref_mask, key, {},
+            jnp.ones(3), ref_rgb, ref_mask, key, {}, jnp.asarray(True),
         )
         np.testing.assert_allclose(float(loss_dp), float(loss_s), rtol=1e-5)
         np.testing.assert_allclose(

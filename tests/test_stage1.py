@@ -126,9 +126,22 @@ class TestTrainerMechanics:
             return jnp.mean((images - 0.1) ** 2)
 
         tr = Stage1Trainer(
-            tiny_opt(), capacity=512, seed=0,
+            tiny_opt(density_start_iter=1), capacity=512, seed=0,
             guidance_fns=((1.0, fake_guidance),),
         )
         tr.train_step()
         assert float(jnp.sum(tr.aux.denom)) > 0
         assert float(jnp.sum(tr.aux.grad_accum)) > 0
+
+    def test_stats_frozen_outside_density_window(self):
+        def fake_guidance(images, cond, step_ratio, key):
+            return jnp.mean((images - 0.1) ** 2)
+
+        # window starts at step 10; a step-1 update must not accumulate
+        # (/root/reference/main.py:277-281).
+        tr = Stage1Trainer(
+            tiny_opt(), capacity=512, seed=0,
+            guidance_fns=((1.0, fake_guidance),),
+        )
+        tr.train_step()
+        assert float(jnp.sum(tr.aux.denom)) == 0

@@ -1,0 +1,88 @@
+"""Evaluation CLI: image metrics between a result and the input view.
+
+The reference's quantitative protocol is CLIP similarity between the
+input image and rendered views of the result mesh
+(``python -m kiui.cli.clip_sim``, /root/reference/readme.md:107-108).
+This CLI reports:
+
+- PSNR / MAE of the front view against the reference image (always);
+- CLIP similarity (mean cosine over 8 orbit views vs the input) when a
+  CLIP checkpoint directory is given (no weights ship in this image).
+
+Usage:
+  python -m dreamgaussian_tpu.cli.eval data/name_rgba.png logs/name.obj \\
+      [--clip_ckpt <dir with CLIP vision model>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a - b) ** 2))
+    return 99.0 if mse == 0 else -10.0 * math.log10(mse)
+
+
+def clip_similarity(ckpt_dir: str, image: np.ndarray,
+                    views: list[np.ndarray]) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from transformers import FlaxCLIPVisionModelWithProjection
+
+    from ..guidance.loader import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    enc = FlaxCLIPVisionModelWithProjection.from_pretrained(
+        ckpt_dir, from_pt=True
+    )
+
+    def embed(img):
+        x = jax.image.resize(jnp.asarray(img), (224, 224, 3), "bilinear")
+        x = (np.asarray(x) - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+        e = enc(pixel_values=x.transpose(2, 0, 1)[None]).image_embeds[0]
+        e = np.asarray(e)
+        return e / (np.linalg.norm(e) + 1e-8)
+
+    ref = embed(image)
+    sims = [float(ref @ embed(v)) for v in views]
+    return float(np.mean(sims))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input", help="reference RGBA image")
+    ap.add_argument("result", help=".ply gaussians or .obj/.glb mesh")
+    ap.add_argument("--clip_ckpt", default=None)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--elevation", type=float, default=0.0)
+    ap.add_argument("--radius", type=float, default=2.0)
+    ap.add_argument("--fovy", type=float, default=49.1)
+    args = ap.parse_args(argv)
+
+    import os
+
+    from .process import load_rgba
+    from .render import render_gaussian_frames, render_mesh_frames
+
+    rgba = load_rgba(args.input, size=args.size)
+    ref = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
+
+    fovy = math.radians(args.fovy)
+    ext = os.path.splitext(args.result)[1].lower()
+    fn = render_gaussian_frames if ext == ".ply" else render_mesh_frames
+    views = fn(args.result, 8, args.size, args.elevation, args.radius, fovy)
+
+    front = views[4] if len(views) >= 8 else views[0]  # hor=0 at index n/2
+    print(f"front_psnr: {psnr(ref, front):.3f} dB")
+    print(f"front_mae: {float(np.mean(np.abs(ref - front))):.5f}")
+    if args.clip_ckpt:
+        sim = clip_similarity(args.clip_ckpt, ref, views)
+        print(f"clip_sim: {sim:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,16 @@ def run(opt) -> dict:
         capacity=opt.get("capacity", 16384),
         seed=opt.get("seed", 0),
     )
-    stats = trainer.train(opt.get("iters", 500))
+    ckpt_dir = opt.get("checkpoint_dir", None)
+    if opt.get("resume", False) and ckpt_dir and os.path.exists(ckpt_dir):
+        trainer.load_checkpoint(ckpt_dir)
+        print(f"[INFO] resumed from {ckpt_dir} at step {trainer.step}")
+    remaining = max(0, opt.get("iters", 500) - trainer.step)
+    stats = trainer.train(
+        remaining,
+        checkpoint_every=opt.get("checkpoint_every", 0),
+        checkpoint_dir=ckpt_dir,
+    )
     print(f"[INFO] stage 1 done: {stats}")
 
     outdir = opt.get("outdir", "logs")
@@ -132,6 +141,7 @@ def run(opt) -> dict:
             bake_resolution=opt.get("bake_resolution", 512),
             mc_resolution=opt.get("mc_resolution", 128),
             decimate_target=opt.get("decimate_target", 100_000),
+            uv_cache_path=mesh_path,
         )
         print(f"[INFO] saved textured mesh to {mesh_path}")
         stats["mesh_path"] = mesh_path

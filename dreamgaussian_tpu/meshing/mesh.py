@@ -64,33 +64,60 @@ class Mesh:
 
     @classmethod
     def _load_obj(cls, path: str) -> "Mesh":
-        v, vt, vn = [], [], []
+        text = open(path, "r", errors="ignore").read()
+        lines = text.splitlines()
+        tags = np.array([ln[:3] for ln in lines])
+
+        def block(prefix, width):
+            sel = [ln for ln, t in zip(lines, tags) if t.startswith(prefix)]
+            if not sel:
+                return None
+            return np.array(
+                [ln.split()[1 : 1 + width] for ln in sel], dtype=np.float32
+            )
+
+        v_arr = block("v ", 3)
+        vt_arr = block("vt ", 2)
+        vn_arr = block("vn ", 3)
+        v = v_arr.tolist() if v_arr is not None else []
+        vt = vt_arr.tolist() if vt_arr is not None else []
+        vn = vn_arr.tolist() if vn_arr is not None else []
         fv, fvt, fvn = [], [], []
         albedo = None
         mtl_path = None
-        for line in open(path, "r", errors="ignore"):
-            parts = line.strip().split()
-            if not parts:
-                continue
-            tag = parts[0]
-            if tag == "v":
-                v.append([float(x) for x in parts[1:4]])
-            elif tag == "vt":
-                vt.append([float(parts[1]), float(parts[2])])
-            elif tag == "vn":
-                vn.append([float(x) for x in parts[1:4]])
-            elif tag == "mtllib":
-                mtl_path = os.path.join(os.path.dirname(path), parts[1])
-            elif tag == "f":
-                idx = [p.split("/") for p in parts[1:]]
-                # triangulate fan
-                for k in range(1, len(idx) - 1):
-                    tri = [idx[0], idx[k], idx[k + 1]]
-                    fv.append([int(t[0]) - 1 for t in tri])
-                    if len(tri[0]) > 1 and tri[0][1]:
-                        fvt.append([int(t[1]) - 1 for t in tri])
-                    if len(tri[0]) > 2 and tri[0][2]:
-                        fvn.append([int(t[2]) - 1 for t in tri])
+        face_lines = [ln for ln in lines if ln.startswith("f ")]
+        for ln in lines:
+            if ln.startswith("mtllib"):
+                mtl_path = os.path.join(os.path.dirname(path), ln.split()[1])
+        if face_lines:
+            # Fast path: uniform triangle faces.
+            sample = face_lines[0].split()
+            uniform_tri = (
+                all(len(ln.split()) == 4 for ln in face_lines[:64])
+                and "//" not in sample[1]
+            )
+            if uniform_tri:
+                slots = len(sample[1].split("/"))
+                flat = " ".join(
+                    ln[2:].replace("/", " ") for ln in face_lines
+                )
+                nums = np.array(flat.split(), dtype=np.int64)
+                nums = nums.reshape(len(face_lines), 3, slots) - 1
+                fv = nums[:, :, 0].tolist()
+                if slots >= 2:
+                    fvt = nums[:, :, 1].tolist()
+                if slots >= 3:
+                    fvn = nums[:, :, 2].tolist()
+            else:
+                for ln in face_lines:
+                    idx = [p.split("/") for p in ln.split()[1:]]
+                    for k in range(1, len(idx) - 1):
+                        tri = [idx[0], idx[k], idx[k + 1]]
+                        fv.append([int(t[0]) - 1 for t in tri])
+                        if len(tri[0]) > 1 and tri[0][1]:
+                            fvt.append([int(t[1]) - 1 for t in tri])
+                        if len(tri[0]) > 2 and tri[0][2]:
+                            fvn.append([int(t[2]) - 1 for t in tri])
         if mtl_path and os.path.exists(mtl_path):
             for line in open(mtl_path, "r", errors="ignore"):
                 parts = line.strip().split()
@@ -192,30 +219,75 @@ class Mesh:
         base = os.path.splitext(path)[0]
         mtl_name = os.path.basename(base) + ".mtl"
         tex_name = os.path.basename(base) + "_albedo.png"
-        with open(path, "w") as fh:
-            fh.write(f"mtllib {mtl_name}\n")
-            for p in self.v:
-                fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-            if self.vt is not None:
-                for t in self.vt:
-                    fh.write(f"vt {t[0]:.6f} {1.0 - t[1]:.6f}\n")
-            if self.vn is not None:
-                for n in self.vn:
-                    fh.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
-            fh.write("usemtl defaultMat\n")
-            for i in range(len(self.f)):
-                a, b, c = (self.f[i] + 1)
-                if self.vt is not None and self.vn is not None:
-                    ta, tb, tc = (self.ft[i] + 1)
-                    na, nb, nc = (self.fn[i] + 1)
-                    fh.write(
-                        f"f {a}/{ta}/{na} {b}/{tb}/{nb} {c}/{tc}/{nc}\n"
+        # Vectorized text formatting: 100k-face meshes are routine and
+        # per-line python f-strings take minutes.
+        chunks = [f"mtllib {mtl_name}\n"]
+        v = np.asarray(self.v, np.float32)
+        chunks.append(
+            "".join(
+                np.char.add(
+                    np.char.add("v ", [" ".join(r) for r in
+                                np.char.mod("%.6f", v)]), "\n"
+                )
+            )
+        )
+        if self.vt is not None:
+            vt = np.stack([self.vt[:, 0], 1.0 - self.vt[:, 1]], axis=1)
+            chunks.append(
+                "".join(
+                    np.char.add(
+                        np.char.add("vt ", [" ".join(r) for r in
+                                    np.char.mod("%.6f", vt)]), "\n"
                     )
-                elif self.vt is not None:
-                    ta, tb, tc = (self.ft[i] + 1)
-                    fh.write(f"f {a}/{ta} {b}/{tb} {c}/{tc}\n")
-                else:
-                    fh.write(f"f {a} {b} {c}\n")
+                )
+            )
+        if self.vn is not None:
+            vn = np.asarray(self.vn, np.float32)
+            chunks.append(
+                "".join(
+                    np.char.add(
+                        np.char.add("vn ", [" ".join(r) for r in
+                                    np.char.mod("%.6f", vn)]), "\n"
+                    )
+                )
+            )
+        chunks.append("usemtl defaultMat\n")
+        f1 = np.asarray(self.f, np.int64) + 1
+        if self.vt is not None and self.vn is not None:
+            t1 = np.asarray(self.ft, np.int64) + 1
+            n1 = np.asarray(self.fn, np.int64) + 1
+            cols = [
+                np.char.add(np.char.add(np.char.mod("%d/", f1[:, k]),
+                            np.char.mod("%d/", t1[:, k])),
+                            np.char.mod("%d", n1[:, k]))
+                for k in range(3)
+            ]
+            rows = np.char.add(
+                np.char.add(np.char.add("f ", cols[0]),
+                            np.char.add(" ", cols[1])),
+                np.char.add(" ", cols[2]),
+            )
+        elif self.vt is not None:
+            t1 = np.asarray(self.ft, np.int64) + 1
+            cols = [
+                np.char.add(np.char.mod("%d/", f1[:, k]),
+                            np.char.mod("%d", t1[:, k]))
+                for k in range(3)
+            ]
+            rows = np.char.add(
+                np.char.add(np.char.add("f ", cols[0]),
+                            np.char.add(" ", cols[1])),
+                np.char.add(" ", cols[2]),
+            )
+        else:
+            rows = np.char.add(
+                np.char.add(np.char.add("f ", np.char.mod("%d", f1[:, 0])),
+                            np.char.add(" ", np.char.mod("%d", f1[:, 1]))),
+                np.char.add(" ", np.char.mod("%d", f1[:, 2])),
+            )
+        chunks.append("\n".join(rows) + "\n")
+        with open(path, "w") as fh:
+            fh.write("".join(chunks))
         with open(os.path.join(os.path.dirname(path), mtl_name), "w") as fh:
             fh.write("newmtl defaultMat\nKa 1 1 1\nKd 1 1 1\nKs 0 0 0\n")
             fh.write("Tr 1\nillum 1\nNs 0\n")

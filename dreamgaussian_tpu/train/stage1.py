@@ -350,7 +350,9 @@ class Stage1Trainer:
                 )
         return float(loss)
 
-    def train(self, iters: int | None = None, log_every: int = 100) -> dict:
+    def train(self, iters: int | None = None, log_every: int = 100,
+              checkpoint_every: int = 0, checkpoint_dir: str | None = None
+              ) -> dict:
         iters = iters if iters is not None else self.opt.get("iters", 500)
         t0 = time.perf_counter()
         loss = float("nan")
@@ -361,12 +363,25 @@ class Stage1Trainer:
                     f"[stage1] step {self.step} loss {loss:.4f} "
                     f"alive {int(num_alive(self.aux))}"
                 )
+            if (checkpoint_every and checkpoint_dir
+                    and self.step % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_dir)
         # Final prune (reference main.py train() tail).
         self.params, self.adam, self.aux = self._prune_final(
             self.params, self.adam, self.aux
         )
         wall = time.perf_counter() - t0
         return {"loss": loss, "wall_s": wall, "alive": int(num_alive(self.aux))}
+
+    def save_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import save_stage1
+
+        save_stage1(path, self)
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import restore_stage1
+
+        restore_stage1(path, self)
 
     def render_view(self, cam: Camera, bg=None, size: int | None = None):
         """No-grad render of one camera (test_step analogue)."""

@@ -205,7 +205,10 @@ class Stage2Trainer:
     def train_step(self) -> float:
         self.step += 1
         step_ratio = min(1.0, self.step / self.opt.get("iters_refine", 50))
-        ssaa_known = self._sample_ssaa()
+        # Known view renders at SSAA 1 (jittering it triples compile count
+        # for negligible benefit at ref_size); novel views keep the jitter
+        # that shapes silhouette gradients.
+        ssaa_known = 1.0
         ssaa_novel = self._sample_ssaa()
 
         cams, poses, vers, hors = self._sample_novel()

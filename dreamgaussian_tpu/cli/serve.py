@@ -1,0 +1,192 @@
+"""Interactive orbit viewer over HTTP (dearpygui-GUI replacement).
+
+The reference embeds a dearpygui viewer in its trainers
+(/root/reference/main.py:546-877): orbit/zoom camera, display mode
+(image / depth / alpha). dearpygui needs a local display; a TPU VM has
+none, so the equivalent here is a tiny zero-dependency web viewer: it
+loads a gaussian PLY (or textured mesh), renders on demand, and serves a
+single HTML page with drag-to-orbit, wheel-to-zoom, and a mode selector.
+
+  python -m dreamgaussian_tpu.cli.serve logs/name_model.ply --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import math
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>dreamgaussian_tpu viewer</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:0 }
+#bar { padding:8px } img { display:block; margin:0 auto; cursor:grab }
+select,button { background:#222; color:#ddd; border:1px solid #555 }
+</style></head><body>
+<div id="bar">
+ mode <select id="mode"><option>image</option><option>depth</option>
+ <option>alpha</option></select>
+ <span id="stat"></span>
+</div>
+<img id="view" width="512" height="512"/>
+<script>
+let elev=0, azim=0, radius=2.0, drag=null, inflight=false, dirty=true;
+const img=document.getElementById('view');
+const mode=document.getElementById('mode');
+function refresh(){
+  if(inflight){dirty=true;return}
+  inflight=true; dirty=false;
+  const t0=performance.now();
+  const u=`/render?elev=${elev.toFixed(1)}&azim=${azim.toFixed(1)}`+
+          `&radius=${radius.toFixed(2)}&mode=${mode.value}`;
+  fetch(u).then(r=>r.blob()).then(b=>{
+    img.src=URL.createObjectURL(b);
+    document.getElementById('stat').textContent=
+      ` elev ${elev.toFixed(0)} azim ${azim.toFixed(0)} r ${radius.toFixed(2)}`+
+      ` (${(performance.now()-t0).toFixed(0)} ms)`;
+    inflight=false; if(dirty) refresh();
+  });
+}
+img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault()};
+window.onmouseup=()=>drag=null;
+window.onmousemove=e=>{
+  if(!drag) return;
+  azim-= (e.clientX-drag[0])*0.5; elev+=(e.clientY-drag[1])*0.5;
+  elev=Math.max(-89,Math.min(89,elev));
+  drag=[e.clientX,e.clientY]; refresh();
+};
+img.onwheel=e=>{e.preventDefault();radius*=Math.pow(1.1,e.deltaY>0?1:-1);
+  radius=Math.max(0.5,Math.min(10,radius)); refresh();};
+mode.onchange=refresh;
+refresh();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, path: str, size: int = 512, fovy_deg: float = 49.1):
+        import jax.numpy as jnp
+
+        self.size = size
+        self.fovy = math.radians(fovy_deg)
+        self.lock = threading.Lock()
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".ply":
+            from ..scene import load_ply
+
+            self.params, self.aux, self.sh_degree = load_ply(path)
+            self.kind = "gaussians"
+        else:
+            from ..meshing.mesh import Mesh
+            from ..render.mesh_renderer import MeshRendererState
+
+            mesh = Mesh.load(path, resize=False)
+            if mesh.vt is None:
+                mesh.auto_uv()
+                mesh.auto_normal()
+            if mesh.albedo is None:
+                mesh.albedo = np.full((512, 512, 3), 0.7, np.float32)
+            self.mstate = MeshRendererState.from_mesh(mesh)
+            self.kind = "mesh"
+
+    def render(self, elev: float, azim: float, radius: float, mode: str):
+        import jax.numpy as jnp
+
+        from ..utils.camera import Camera, orbit_camera
+
+        cam = Camera.from_pose(
+            orbit_camera(elev, azim, radius), self.size, self.size,
+            self.fovy, self.fovy,
+        )
+        arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        with self.lock:
+            if self.kind == "gaussians":
+                from ..train.stage1 import _render_one
+
+                out = _render_one(
+                    self.params, arr, jnp.ones(3), self.size, self.size,
+                    self.sh_degree, self.aux.alive,
+                )
+                image, depth, alpha = out.image, out.depth, out.alpha
+            else:
+                from ..render.mesh_renderer import render_mesh
+
+                w2c = np.asarray(cam.view[:3, :3]).copy()
+                w2c[1:3] *= -1
+                out = render_mesh(
+                    self.mstate, arr, jnp.asarray(w2c.T), self.size, self.size
+                )
+                image = out["image"]
+                depth = out["depth"][..., 0]
+                alpha = out["alpha"][..., 0]
+        if mode == "depth":
+            d = np.asarray(depth)
+            lo, hi = d.min(), d.max()
+            d = (d - lo) / (hi - lo + 1e-8)
+            img = np.repeat(d[..., None], 3, axis=-1)
+        elif mode == "alpha":
+            img = np.repeat(np.asarray(alpha)[..., None], 3, axis=-1)
+        else:
+            img = np.asarray(image)
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def make_handler(state: ViewerState):
+    import imageio
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/render":
+                q = parse_qs(url.query)
+                img = state.render(
+                    float(q.get("elev", ["0"])[0]),
+                    float(q.get("azim", ["0"])[0]),
+                    float(q.get("radius", ["2"])[0]),
+                    q.get("mode", ["image"])[0],
+                )
+                buf = io.BytesIO()
+                imageio.imwrite(buf, img, format="png")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", help=".ply gaussians or mesh")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    state = ViewerState(args.path, size=args.size)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
+    print(f"[INFO] viewer at http://localhost:{args.port}/ ({state.kind})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,2 +1,9 @@
 from .scheduler import DDIMScheduler  # noqa: F401
-from .sds import sds_grad_loss  # noqa: F401
+from .sds import (  # noqa: F401
+    Backbone,
+    ImageDreamGuidance,
+    MVDreamGuidance,
+    StableDiffusionGuidance,
+    Zero123Guidance,
+    sds_grad_loss,
+)

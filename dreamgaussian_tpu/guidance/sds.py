@@ -381,3 +381,130 @@ class MVDreamGuidance:
             return sds_grad_loss(latents, grad, divide_by_batch=True)
 
         return fn
+
+
+class ImageDreamGuidance:
+    """Image+text 4(+1)-view joint SDS
+    (/root/reference/guidance/imagedream_utils.py:129-214).
+
+    A 5th "extra view" slot carries the identity-image conditioning: its
+    noisy latent is zero-padded, the CLIP image tokens (``ip``) and the
+    identity VAE latent (``ip_img``) ride in the conditioning, and the
+    extra view is stripped from the prediction before the SDS gradient.
+    CFG 5; no w(t) weighting; t shared across the 4 real views.
+
+    ``embeddings``: 'pos'/'neg' text embeds [L, D].
+    ``image_embeddings``: 'pos' CLIP image tokens [Li, Di]; 'ip_img'
+    latent [h, w, 4] (negatives are zeros, as the reference).
+    ``camera_embed``: (cam16 [B,16]) -> [B, temb_dim].
+    """
+
+    def __init__(
+        self,
+        backbone: Backbone,
+        embeddings: dict,
+        image_embeddings: dict,
+        camera_embed: Callable,
+        guidance_scale: float = 5.0,
+        t_range=(0.02, 0.98),
+        image_size: int = 256,
+        num_views: int = 4,
+        anneal: bool = True,
+    ):
+        self.backbone = backbone
+        self.num_train = backbone.scheduler.num_train_timesteps
+        self.t_min = int(self.num_train * t_range[0])
+        self.t_max = int(self.num_train * t_range[1])
+        self.guidance_scale = guidance_scale
+        self.image_size = image_size
+        self.anneal = anneal
+        self.num_views = num_views
+        self.camera_embed = camera_embed
+        self.emb = {k: jnp.asarray(v) for k, v in embeddings.items()}
+        self.img_emb = {k: jnp.asarray(v) for k, v in image_embeddings.items()}
+
+    def _pad_views(self, x, pad_value=0.0):
+        """[rB*V, ...] -> [rB*(V+1), ...] with a zero extra view per group."""
+        v = self.num_views
+        rb = x.shape[0] // v
+        x = x.reshape((rb, v) + x.shape[1:])
+        pad = jnp.full_like(x[:, :1], pad_value)
+        return jnp.concatenate([x, pad], axis=1).reshape(
+            (rb * (v + 1),) + x.shape[2:]
+        )
+
+    def _strip_views(self, x):
+        v = self.num_views
+        rb = x.shape[0] // (v + 1)
+        x = x.reshape((rb, v + 1) + x.shape[1:])
+        return x[:, :v].reshape((rb * v,) + x.shape[2:])
+
+    def guidance_fn(self):
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, step_ratio, key):
+            b = images.shape[0]
+            rb = b // self.num_views
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = bk.vae_encode(imgs)
+
+            k_t, k_n = jax.random.split(key)
+            if self.anneal:
+                t = anneal_t(step_ratio, self.num_train, self.t_min, self.t_max)
+            else:
+                t = jax.random.randint(k_t, (), self.t_min, self.t_max + 1)
+            t_b = jnp.full((b,), t, jnp.int32)
+            noise = jax.random.normal(k_n, latents.shape)
+            latents_noisy = sch.add_noise(
+                jax.lax.stop_gradient(latents), noise, t_b
+            )
+
+            # Pad the extra (identity) view: zero latent, repeated t.
+            lat_in = self._pad_views(latents_noisy)
+            t_in5 = self._pad_views(t_b.astype(jnp.float32))
+            cam16 = mvdream_camera(cond["poses"])
+            cam16 = self._pad_views(cam16)
+            camera = self.camera_embed(cam16)
+
+            text_pos = jnp.broadcast_to(
+                self.emb["pos"][None], (rb * (self.num_views + 1),)
+                + self.emb["pos"].shape
+            )
+            text_neg = jnp.broadcast_to(
+                self.emb["neg"][None], text_pos.shape
+            )
+            ip_pos = jnp.broadcast_to(
+                self.img_emb["pos"][None], (rb * (self.num_views + 1),)
+                + self.img_emb["pos"].shape
+            )
+            ip_neg = jnp.zeros_like(ip_pos)
+            ip_img_pos = jnp.broadcast_to(
+                self.img_emb["ip_img"][None],
+                (rb,) + self.img_emb["ip_img"].shape,
+            )
+            ip_img_neg = jnp.zeros_like(ip_img_pos)
+
+            x_in = jnp.concatenate([lat_in] * 2)
+            t_in = jnp.concatenate([t_in5] * 2)
+            ctx = jnp.concatenate([text_neg, text_pos])
+            cam_in = jnp.concatenate([camera] * 2)
+            ip = jnp.concatenate([ip_neg, ip_pos])
+            ip_img = jnp.concatenate([ip_img_neg, ip_img_pos])
+
+            eps5 = jax.lax.stop_gradient(
+                bk.unet_apply(
+                    x_in, t_in, ctx, camera=cam_in, ip=ip, ip_img=ip_img
+                )
+            )
+            eps_uncond5, eps_cond5 = jnp.split(eps5, 2)
+            eps_uncond = self._strip_views(eps_uncond5)
+            eps_cond = self._strip_views(eps_cond5)
+            eps_hat = eps_uncond + self.guidance_scale * (
+                eps_cond - eps_uncond
+            )
+
+            grad = jnp.nan_to_num(eps_hat - noise)  # NO w(t)
+            return sds_grad_loss(latents, grad, divide_by_batch=True)
+
+        return fn

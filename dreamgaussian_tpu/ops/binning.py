@@ -47,12 +47,19 @@ class BinnedTiles(NamedTuple):
     chunk_starts: [T] int32 first chunk index of each tile.
     n_chunks: [T] int32 chunk count of each tile.
     num_dups: [] int32 total real (unpadded, unaligned) duplicates.
+    gather_map: [N, max_tiles] int32 — the aligned-array slot of each
+        element's m-th duplicate, in ORIGINAL element order; >= K_aligned
+        for unused slots. This is the inverse of dup_map: it lets the
+        backward pass reduce per-duplicate gradients to per-element
+        gradients with pure GATHERS instead of XLA's sort-based
+        scatter-add (which dominated the backward fusion time).
     """
 
     dup_map: jnp.ndarray
     chunk_starts: jnp.ndarray
     n_chunks: jnp.ndarray
     num_dups: jnp.ndarray
+    gather_map: jnp.ndarray
 
 
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int,
@@ -139,11 +146,13 @@ def bin_rects(
 
     tile_flat = tile_id.reshape(k)
     idx_flat = jnp.broadcast_to(order[:, None], (n, max_tiles)).reshape(k)
+    flat_ids = jnp.arange(k, dtype=jnp.int32)
 
     # Stable single-key sort: rows are already in the desired order,
-    # stability preserves it within each tile bucket.
-    sorted_tile, sorted_idx = jax.lax.sort(
-        (tile_flat, idx_flat), num_keys=1, is_stable=True
+    # stability preserves it within each tile bucket. flat_ids rides
+    # along so the slot positions can be inverted for gather_map.
+    sorted_tile, sorted_idx, sorted_fid = jax.lax.sort(
+        (tile_flat, idx_flat, flat_ids), num_keys=1, is_stable=True
     )
 
     # Per-tile ranges in the sorted array.
@@ -165,9 +174,20 @@ def bin_rects(
     dup_map = jnp.full((k_aligned,), n, dtype=jnp.int32)
     dup_map = dup_map.at[pos].set(sorted_idx, mode="drop", unique_indices=True)
 
+    # Inverse map: slot position of each pre-sort flat duplicate, then
+    # un-permute rows from sorted-element order back to original order.
+    gmap_flat = jnp.zeros((k,), jnp.int32).at[sorted_fid].set(
+        jnp.minimum(pos, k_aligned), unique_indices=True
+    )
+    gather_sorted = gmap_flat.reshape(n, max_tiles)
+    gather_map = jnp.zeros_like(gather_sorted).at[order].set(
+        gather_sorted, unique_indices=True
+    )
+
     return BinnedTiles(
         dup_map=dup_map,
         chunk_starts=astart[:-1] // chunk,
         n_chunks=aligned_counts // chunk,
         num_dups=offsets[-1],
+        gather_map=gather_map,
     )

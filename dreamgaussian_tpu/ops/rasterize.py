@@ -91,6 +91,38 @@ def _composite_bwd(grid_x, num_tiles, chunk, tile, residuals, g_out):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
+@jax.custom_vjp
+def _dup_gather(feat_cols, dup_map, gather_map):
+    """feat_cols[:, dup_map] with a gather-based backward.
+
+    XLA's VJP for a gather is a sort-based scatter-add — measurably the
+    hottest fusion in the render backward. The inverse map from binning
+    turns it into max_tiles gathers + a sum."""
+    return jnp.take(feat_cols, dup_map, axis=1)
+
+
+def _dup_gather_fwd(feat_cols, dup_map, gather_map):
+    return jnp.take(feat_cols, dup_map, axis=1), (
+        feat_cols.shape, gather_map, dup_map,
+    )
+
+
+def _dup_gather_bwd(res, g):
+    (rows, cols), gather_map, dup_map = res
+    n, mt = gather_map.shape
+    per_dup = jnp.take(
+        g, gather_map.reshape(-1), axis=1, mode="fill", fill_value=0.0
+    ).reshape(rows, n, mt)
+    g_cols = jnp.sum(per_dup, axis=-1)            # [rows, n]
+    g_cols = jnp.pad(g_cols, ((0, 0), (0, cols - n)))
+    zero_i = np.zeros(dup_map.shape, dtype=jax.dtypes.float0)
+    zero_g = np.zeros(gather_map.shape, dtype=jax.dtypes.float0)
+    return g_cols, zero_i, zero_g
+
+
+_dup_gather.defvjp(_dup_gather_fwd, _dup_gather_bwd)
+
+
 def rasterize_projected(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -139,7 +171,7 @@ def rasterize_projected(
     )
     feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
 
-    dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)  # [FEAT_ROWS, K_aligned]
+    dup_feat = _dup_gather(feat_cols, bins.dup_map, bins.gather_map)
     out = _composite(
         dup_feat, bins.chunk_starts, bins.n_chunks,
         jnp.zeros((1,), jnp.int32), grid_x, num_tiles, chunk, tile,

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.binning import TILE, bin_gaussians
 from ..ops.project import project_gaussians
-from ..ops.rasterize import GaussianRender, _composite
+from ..ops.rasterize import GaussianRender, _composite, _dup_gather
 from ..ops.rasterize_pallas import FEAT_ROWS, OUT_CH
 
 
@@ -79,7 +79,7 @@ def rasterize_projected_tile_sharded(
         axis=0,
     )
     feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
-    dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)
+    dup_feat = _dup_gather(feat_cols, bins.dup_map, bins.gather_map)
 
     # This device's slab of tiles.
     shard = jax.lax.axis_index(axis_name)

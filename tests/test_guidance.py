@@ -264,3 +264,44 @@ class TestFullArchitectures:
         np.testing.assert_allclose(
             np.asarray(emb[0]), [1, 1, 1, 1, 0, 0, 0, 0], atol=1e-6
         )
+
+
+class TestImageDreamGuidance:
+    def test_5view_padding_and_loss(self):
+        from dreamgaussian_tpu.guidance.sds import ImageDreamGuidance
+
+        bk = tiny_backbone()
+        rng = np.random.default_rng(0)
+
+        seen_batches = {}
+
+        def unet_apply(x, t, ctx, camera=None, ip=None, ip_img=None):
+            seen_batches["b"] = x.shape[0]
+            assert camera is not None and ip is not None and ip_img is not None
+            return bk.unet_apply(x, t, ctx[..., :32])
+
+        bk2 = bk._replace(unet_apply=unet_apply)
+        g = ImageDreamGuidance(
+            bk2,
+            embeddings={"pos": rng.normal(size=(2, 32)).astype(np.float32),
+                        "neg": np.zeros((2, 32), np.float32)},
+            image_embeddings={
+                "pos": rng.normal(size=(5, 16)).astype(np.float32),
+                "ip_img": rng.normal(size=(8, 8, 4)).astype(np.float32),
+            },
+            camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
+            image_size=64,
+        )
+        from dreamgaussian_tpu.utils.camera import orbit_camera
+
+        poses = np.stack([orbit_camera(0, h, 2.0) for h in (0, 90, 180, -90)])
+        images = jnp.full((4, 32, 32, 3), 0.5)
+        cond = {"poses": jnp.asarray(poses)}
+        fn = g.guidance_fn()
+        loss, grads = jax.value_and_grad(
+            lambda im: fn(im, cond, 0.5, jax.random.PRNGKey(0))
+        )(images)
+        assert np.isfinite(float(loss))
+        assert float(jnp.max(jnp.abs(grads))) > 0
+        # UNet saw 2 * (4+1) views (CFG doubling + extra view)
+        assert seen_batches["b"] == 10

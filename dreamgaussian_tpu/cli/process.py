@@ -80,11 +80,32 @@ def load_rgba(path: str, size: int | None = None,
     return rgba.astype(np.float32) / 255.0
 
 
+def caption_image(rgb: np.ndarray, blip_ckpt: str) -> str:
+    """BLIP2 captioning from a local checkpoint directory (the reference's
+    optional captioner, /root/reference/process.py:16-31). Torch-CPU
+    inference; only invoked when a checkpoint is provided."""
+    import torch
+    from transformers import AutoProcessor, Blip2ForConditionalGeneration
+
+    processor = AutoProcessor.from_pretrained(blip_ckpt)
+    model = Blip2ForConditionalGeneration.from_pretrained(
+        blip_ckpt, torch_dtype=torch.float32
+    )
+    inputs = processor(
+        images=(rgb * 255).astype(np.uint8), return_tensors="pt"
+    )
+    out = model.generate(**inputs, max_new_tokens=30)
+    return processor.decode(out[0], skip_special_tokens=True).strip()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--border_ratio", type=float, default=0.2)
+    ap.add_argument("--caption", action="store_true")
+    ap.add_argument("--blip_ckpt", default=None,
+                    help="local BLIP2 checkpoint dir for --caption")
     args = ap.parse_args()
 
     rgba = load_rgba(args.path, size=args.size, border_ratio=args.border_ratio)
@@ -94,6 +115,14 @@ def main() -> None:
         cv2.cvtColor((rgba * 255).astype(np.uint8), cv2.COLOR_RGBA2BGRA),
     )
     print(f"[INFO] wrote {out_path}")
+    if args.caption:
+        if not args.blip_ckpt:
+            raise SystemExit("--caption needs --blip_ckpt <local dir> "
+                             "(no model weights ship in this environment)")
+        text = caption_image(rgba[..., :3], args.blip_ckpt)
+        cap_path = os.path.splitext(args.path)[0] + "_caption.txt"
+        open(cap_path, "w").write(text + "\n")
+        print(f"[INFO] caption: {text}")
 
 
 if __name__ == "__main__":

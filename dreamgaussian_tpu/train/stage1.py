@@ -155,6 +155,72 @@ def make_train_step(
     return step_fn
 
 
+def make_train_scan(
+    *,
+    novel_size: int,
+    n_novel: int,
+    ref_size: int,
+    sh_degree: int,
+    use_known_view: bool,
+    warmup_rgb_loss: bool,
+    lr_schedules: dict,
+    densify_fn,
+    reset_fn,
+    guidance_fns: tuple = (),
+    max_tiles: int = 12,
+    chunk: int = 128,
+):
+    """Fused multi-step trainer: ONE device dispatch per K-step segment.
+
+    Per-step host dispatch costs dominate tunneled/remote TPU setups (a
+    sync per step measured 0.5 s/iter; async-but-per-step still ~0.23).
+    Here K steps run as a single ``lax.scan`` whose body is the whole
+    iteration; densify/prune and opacity reset fire INSIDE the scan via
+    ``lax.cond`` on per-step flags (both are shape-static, so the cond
+    branches compile once). The host only samples K cameras up front.
+    """
+    step_fn = make_train_step(
+        novel_size=novel_size, n_novel=n_novel, ref_size=ref_size,
+        sh_degree=sh_degree, use_known_view=use_known_view,
+        warmup_rgb_loss=warmup_rgb_loss, lr_schedules=lr_schedules,
+        guidance_fns=guidance_fns, max_tiles=max_tiles, chunk=chunk,
+    )
+
+    @jax.jit
+    def scan_fn(params, adam, aux, known_cams, ref_rgb, ref_mask,
+                steps, novel_cams_seq, bgs, keys, conds_seq, accums,
+                densify_flags, reset_flags, densify_keys):
+        def body(carry, xs):
+            params, adam, aux = carry
+            (step, ncams, bg, key, cond, accum, do_d, do_r, dkey) = xs
+            params, adam, aux, loss = step_fn(
+                params, adam, aux, step, known_cams, ncams, bg,
+                ref_rgb, ref_mask, key, cond, accum,
+            )
+            params, adam, aux = jax.lax.cond(
+                do_d,
+                lambda t: densify_fn(t[0], t[1], t[2], dkey),
+                lambda t: t,
+                (params, adam, aux),
+            )
+            params, adam = jax.lax.cond(
+                do_r,
+                lambda t: reset_fn(t[0], t[1]),
+                lambda t: t,
+                (params, adam),
+            )
+            return (params, adam, aux), loss
+
+        xs = (steps, novel_cams_seq, bgs, keys, conds_seq, accums,
+              densify_flags, reset_flags, densify_keys)
+        (params, adam, aux), losses = jax.lax.scan(
+            body, (params, adam, aux), xs
+        )
+        return params, adam, aux, losses
+
+    return scan_fn
+
+
 class Stage1Trainer:
     """Headless stage-1 optimization (GUI-free equivalent of main.py GUI)."""
 
@@ -230,15 +296,14 @@ class Stage1Trainer:
         }
 
         self._step_fns: dict[int, Callable] = {}
-        self._densify = jax.jit(
-            functools.partial(
-                densify_and_prune,
-                grad_threshold=opt.get("densify_grad_threshold", 0.01),
-                min_opacity=0.01,
-                extent=4.0,
-                percent_dense=opt.get("percent_dense", 0.01),
-            )
+        self._densify_pure = functools.partial(
+            densify_and_prune,
+            grad_threshold=opt.get("densify_grad_threshold", 0.01),
+            min_opacity=0.01,
+            extent=4.0,
+            percent_dense=opt.get("percent_dense", 0.01),
         )
+        self._densify = jax.jit(self._densify_pure)
         self._reset_opacity = jax.jit(reset_opacity)
         self._prune_final = jax.jit(
             functools.partial(
@@ -348,19 +413,147 @@ class Stage1Trainer:
                 self.params, self.adam = self._reset_opacity(
                     self.params, self.adam
                 )
-        return float(loss)
+        # Return the DEVICE value: a float() here would force a host sync
+        # (a full RPC round-trip on tunneled TPUs) every step. Callers
+        # convert only when they actually want to look at it.
+        return loss
+
+    # -- fused multi-step path ------------------------------------------
+
+    def _get_scan_fn(self, size: int):
+        key = ("scan", size)
+        if key not in self._step_fns:
+            from .stage1 import make_train_scan
+
+            self._step_fns[key] = make_train_scan(
+                novel_size=size,
+                n_novel=self.batch_size * self.n_views,
+                ref_size=self.ref_size,
+                sh_degree=self.sh_degree,
+                use_known_view=self.use_known_view,
+                warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
+                lr_schedules=self.lr_schedules,
+                densify_fn=self._densify_pure,
+                reset_fn=reset_opacity,
+                guidance_fns=self.guidance_fns,
+            )
+        return self._step_fns[key]
+
+    def _novel_size_for(self, step: int, iters: int) -> int:
+        ratio = min(1.0, step / iters)
+        ladder = self.opt.get("novel_resolutions", [128, 256, 512])
+        return ladder[0] if ratio < 0.3 else (
+            ladder[1] if ratio < 0.6 else ladder[2]
+        )
+
+    def train_segment(self, k: int, iters: int):
+        """Run k steps (uniform novel resolution) as ONE scan dispatch."""
+        opt = self.opt
+        size = self._novel_size_for(self.step + 1, iters)
+        steps = np.arange(self.step + 1, self.step + k + 1)
+
+        cams_seq, conds, bgs = [], {"vers": [], "hors": [], "radii": []}, []
+        for _ in range(k):
+            cams, vers, hors = self._sample_novel_cameras(size)
+            cams_seq.append(stack_cameras(cams))
+            conds["vers"].append(vers)
+            conds["hors"].append(hors)
+            conds["radii"].append(np.zeros_like(vers))
+            bgs.append(
+                [1.0, 1.0, 1.0]
+                if self.rng.random() > opt.get("invert_bg_prob", 0.5)
+                else [0.0, 0.0, 0.0]
+            )
+        novel_seq = {
+            kk: jnp.asarray(np.stack([c[kk] for c in cams_seq]))
+            for kk in cams_seq[0]
+        }
+        # Every cond leaf must carry the scan axis; static entries (e.g.
+        # user-supplied embeddings) broadcast across the K steps.
+        conds_seq = {
+            kk: jnp.broadcast_to(
+                jnp.asarray(v)[None], (k,) + jnp.asarray(v).shape
+            )
+            for kk, v in self.cond.items()
+        }
+        conds_seq.update(
+            {kk: jnp.asarray(np.stack(v)) for kk, v in conds.items()}
+        )
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, k)
+        self.key, sub = jax.random.split(self.key)
+        dkeys = jax.random.split(sub, k)
+
+        start = opt.get("density_start_iter", 100)
+        end = opt.get("density_end_iter", 3000)
+        interval = opt.get("densification_interval", 100)
+        reset_iv = opt.get("opacity_reset_interval", 700)
+        in_window = (steps >= start) & (steps <= end)
+        densify_flags = in_window & (steps % interval == 0)
+        reset_flags = in_window & (steps % reset_iv == 0)
+
+        known = {k2: jnp.asarray(v) for k2, v in self.fixed_cam.arrays().items()}
+        ref_rgb = (
+            self.ref_rgb if self.ref_rgb is not None
+            else jnp.zeros((self.ref_size, self.ref_size, 3))
+        )
+        ref_mask = (
+            self.ref_mask if self.ref_mask is not None
+            else jnp.zeros((self.ref_size, self.ref_size))
+        )
+        scan_fn = self._get_scan_fn(size)
+        self.params, self.adam, self.aux, losses = scan_fn(
+            self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
+            jnp.asarray(steps, jnp.float32),
+            novel_seq, jnp.asarray(bgs, jnp.float32), keys, conds_seq,
+            jnp.asarray(in_window), jnp.asarray(densify_flags),
+            jnp.asarray(reset_flags), dkeys,
+        )
+        self.step += k
+        return losses
 
     def train(self, iters: int | None = None, log_every: int = 100,
-              checkpoint_every: int = 0, checkpoint_dir: str | None = None
-              ) -> dict:
+              checkpoint_every: int = 0, checkpoint_dir: str | None = None,
+              scan_chunk: int = 50) -> dict:
         iters = iters if iters is not None else self.opt.get("iters", 500)
         t0 = time.perf_counter()
         loss = float("nan")
+        total = self.step + iters
+        if scan_chunk and scan_chunk > 1:
+            while self.step < total:
+                size_now = self._novel_size_for(self.step + 1, total)
+                k = 1
+                while (
+                    k < scan_chunk
+                    and self.step + k < total
+                    and self._novel_size_for(self.step + k + 1, total)
+                    == size_now
+                    and not (checkpoint_every
+                             and (self.step + k) % checkpoint_every == 0)
+                ):
+                    k += 1
+                losses = self.train_segment(k, total)
+                loss = losses[-1]
+                if log_every:
+                    print(
+                        f"[stage1] step {self.step} loss {float(loss):.4f} "
+                        f"alive {int(num_alive(self.aux))}"
+                    )
+                if (checkpoint_every and checkpoint_dir
+                        and self.step % checkpoint_every == 0):
+                    self.save_checkpoint(checkpoint_dir)
+            self.params, self.adam, self.aux = self._prune_final(
+                self.params, self.adam, self.aux
+            )
+            loss = float(loss)
+            wall = time.perf_counter() - t0
+            return {"loss": loss, "wall_s": wall,
+                    "alive": int(num_alive(self.aux))}
         for _ in range(iters):
             loss = self.train_step()
             if log_every and self.step % log_every == 0:
                 print(
-                    f"[stage1] step {self.step} loss {loss:.4f} "
+                    f"[stage1] step {self.step} loss {float(loss):.4f} "
                     f"alive {int(num_alive(self.aux))}"
                 )
             if (checkpoint_every and checkpoint_dir
@@ -370,6 +563,7 @@ class Stage1Trainer:
         self.params, self.adam, self.aux = self._prune_final(
             self.params, self.adam, self.aux
         )
+        loss = float(loss)  # final sync
         wall = time.perf_counter() - t0
         return {"loss": loss, "wall_s": wall, "alive": int(num_alive(self.aux))}
 

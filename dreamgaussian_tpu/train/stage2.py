@@ -260,7 +260,7 @@ class Stage2Trainer:
             self.params, self.adam, known_arr, known_rot, novel_arrs,
             novel_rots, targets, ref_rgb, ref_mask, self.lrs,
         )
-        return float(loss)
+        return loss  # device value; float() only when inspected
 
     def train(self, iters: int | None = None, log_every: int = 10) -> dict:
         iters = iters if iters is not None else self.opt.get("iters_refine", 50)
@@ -269,8 +269,8 @@ class Stage2Trainer:
         for _ in range(iters):
             loss = self.train_step()
             if log_every and self.step % log_every == 0:
-                print(f"[stage2] step {self.step} loss {loss:.6f}")
-        return {"loss": loss, "wall_s": time.perf_counter() - t0}
+                print(f"[stage2] step {self.step} loss {float(loss):.6f}")
+        return {"loss": float(loss), "wall_s": time.perf_counter() - t0}
 
     def export_mesh(self, path: str):
         """Write the refined mesh (mesh_renderer.py:72-76)."""

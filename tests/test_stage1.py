@@ -145,3 +145,36 @@ class TestTrainerMechanics:
         )
         tr.train_step()
         assert float(jnp.sum(tr.aux.denom)) == 0
+
+
+class TestScanTraining:
+    def test_scan_path_overfits_like_stepwise(self):
+        # train_segment is the unit under test; train() additionally runs
+        # the reference's aggressive final prune (extent=1 world-scale cut,
+        # /root/reference/main.py:894) which is tuned for real 512px
+        # scenes, not this 32px toy.
+        rgb, mask = make_target()
+        tr = Stage1Trainer(tiny_opt(iters=120, warmup_rgb_loss=False),
+                           ref_rgb=rgb, ref_mask=mask, capacity=512, seed=0)
+        out0 = tr.render_view(tr.fixed_cam)
+        err0 = float(jnp.mean((out0.image - rgb) ** 2))
+        for _ in range(6):
+            tr.train_segment(20, 120)
+        out1 = tr.render_view(tr.fixed_cam)
+        err1 = float(jnp.mean((out1.image - rgb) ** 2))
+        assert tr.step == 120
+        assert err1 < err0 * 0.25, (err0, err1)
+
+    def test_scan_densify_fires_inside_scan(self):
+        def fake_guidance(images, cond, step_ratio, key):
+            return jnp.mean((images - 0.1) ** 2)
+
+        tr = Stage1Trainer(
+            tiny_opt(iters=20, density_start_iter=2, density_end_iter=18,
+                     densification_interval=5),
+            capacity=512, seed=0, guidance_fns=((1.0, fake_guidance),),
+        )
+        n0 = int(jnp.sum(tr.aux.alive))
+        tr.train(20, scan_chunk=20, log_every=0)
+        n1 = int(jnp.sum(tr.aux.alive))
+        assert n1 != n0  # density control ran inside the fused scan

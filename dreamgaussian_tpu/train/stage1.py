@@ -420,12 +420,13 @@ class Stage1Trainer:
 
     # -- fused multi-step path ------------------------------------------
 
-    def _get_scan_fn(self, size: int):
-        key = ("scan", size)
+    def _get_scan_fn(self, size: int, k: int):
+        key = ("scan", size, k)
         if key not in self._step_fns:
+            from ..utils.aotcache import AotCached
             from .stage1 import make_train_scan
 
-            self._step_fns[key] = make_train_scan(
+            self._step_fns[key] = AotCached(make_train_scan(
                 novel_size=size,
                 n_novel=self.batch_size * self.n_views,
                 ref_size=self.ref_size,
@@ -436,7 +437,7 @@ class Stage1Trainer:
                 densify_fn=self._densify_pure,
                 reset_fn=reset_opacity,
                 guidance_fns=self.guidance_fns,
-            )
+            ), tag=f"s1scan_{size}_{k}", verbose=True)
         return self._step_fns[key]
 
     def _novel_size_for(self, step: int, iters: int) -> int:
@@ -501,7 +502,7 @@ class Stage1Trainer:
             self.ref_mask if self.ref_mask is not None
             else jnp.zeros((self.ref_size, self.ref_size))
         )
-        scan_fn = self._get_scan_fn(size)
+        scan_fn = self._get_scan_fn(size, k)
         self.params, self.adam, self.aux, losses = scan_fn(
             self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
             jnp.asarray(steps, jnp.float32),

@@ -26,19 +26,18 @@ def render_gaussian_frames(ply_path, frames, size, elevation, radius, fovy):
     import jax.numpy as jnp
 
     from ..scene import load_ply
-    from ..train.stage1 import _render_one
+    from ..train.stage1 import get_cached_render
     from ..utils.camera import Camera, orbit_camera
 
     params, aux, sh_degree = load_ply(ply_path)
+    fn = get_cached_render(size, size, sh_degree, params["xyz"].shape[0])
     out = []
     for hor in np.linspace(-180, 180, frames, endpoint=False):
         cam = Camera.from_pose(
             orbit_camera(elevation, hor, radius), size, size, fovy, fovy
         )
         arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
-        res = _render_one(
-            params, arr, jnp.ones(3), size, size, sh_degree, aux.alive
-        )
+        res = fn(params, arr, jnp.ones(3), aux.alive)
         out.append(np.asarray(res.image))
     return out
 
@@ -109,6 +108,8 @@ def main(argv=None) -> None:
     ap.add_argument("--fps", type=int, default=15)
     args = ap.parse_args(argv)
 
+    if not os.path.exists(args.path):
+        raise SystemExit(f"error: no such file: {args.path}")
     fovy = math.radians(args.fovy)
     ext = os.path.splitext(args.path)[1].lower()
     fn = render_gaussian_frames if ext == ".ply" else render_mesh_frames

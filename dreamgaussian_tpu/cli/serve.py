@@ -106,12 +106,13 @@ class ViewerState:
         arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
         with self.lock:
             if self.kind == "gaussians":
-                from ..train.stage1 import _render_one
+                from ..train.stage1 import get_cached_render
 
-                out = _render_one(
-                    self.params, arr, jnp.ones(3), self.size, self.size,
-                    self.sh_degree, self.aux.alive,
+                fn = get_cached_render(
+                    self.size, self.size, self.sh_degree,
+                    self.params["xyz"].shape[0],
                 )
+                out = fn(self.params, arr, jnp.ones(3), self.aux.alive)
                 image, depth, alpha = out.image, out.depth, out.alpha
             else:
                 from ..render.mesh_renderer import render_mesh

@@ -582,10 +582,33 @@ class Stage1Trainer:
         """No-grad render of one camera (test_step analogue)."""
         arrays = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
         bg = jnp.ones(3) if bg is None else jnp.asarray(bg, jnp.float32)
-        return _render_one(
-            self.params, arrays, bg, cam.width, cam.height,
-            self.sh_degree, self.aux.alive,
+        fn = get_cached_render(
+            cam.width, cam.height, self.sh_degree, self.capacity
         )
+        return fn(self.params, arrays, bg, self.aux.alive)
 
     def save_ply(self, path: str) -> int:
         return save_ply(path, self.params, self.aux)
+
+
+_RENDER_CACHE: dict = {}
+
+
+def get_cached_render(width: int, height: int, sh_degree: int, capacity: int):
+    """Shared jitted+AOT-cached no-grad render (viewer / render CLI /
+    texture bake all hit this; the first call per shape loads from the
+    executable cache instead of paying a remote compile)."""
+    key = (width, height, sh_degree, capacity)
+    if key not in _RENDER_CACHE:
+        from ..utils.aotcache import AotCached
+
+        @jax.jit
+        def fn(params, cam_arrays, bg, alive):
+            return _render_one(
+                params, cam_arrays, bg, width, height, sh_degree, alive
+            )
+
+        _RENDER_CACHE[key] = AotCached(
+            fn, tag=f"render_{width}x{height}_d{sh_degree}_c{capacity}"
+        )
+    return _RENDER_CACHE[key]

@@ -136,7 +136,11 @@ class Stage2Trainer:
                     size, size, ssaa=ssaa, train_geo=self.train_geo,
                 )["image"]
 
-            self._fwd_renders[key] = jax.jit(fwd)
+            from ..utils.aotcache import AotCached
+
+            self._fwd_renders[key] = AotCached(
+                jax.jit(fwd), tag=f"s2fwd_{size}_{ssaa}"
+            )
         arr = cam.arrays()
         # c2w rotation = inverse of the OpenGL w2c — recover from view quirk:
         # Camera stores the rectified w2c; use the orbit pose rotation.
@@ -197,8 +201,13 @@ class Stage2Trainer:
             params, adam = adam_update(params, grads, adam, lrs)
             return params, adam, loss
 
-        self._grad_steps[key] = step_fn
-        return step_fn
+        from ..utils.aotcache import AotCached
+
+        wrapped = AotCached(
+            step_fn, tag=f"s2grad_{n_novel}_{ssaa_known}_{ssaa_novel}"
+        )
+        self._grad_steps[key] = wrapped
+        return wrapped
 
     # ------------------------------------------------------------------
 

@@ -301,3 +301,37 @@ class Stage2Trainer:
             st, arr, self._pose_rot(cam), cam.height, cam.width, ssaa=ssaa,
             train_geo=self.train_geo,
         )
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Full stage-2 state (params + Adam + step) as one npz."""
+        import numpy as _np
+
+        arrs = {f"p_{k}": _np.asarray(v) for k, v in self.params.items()}
+        arrs.update({f"mu_{k}": _np.asarray(v) for k, v in self.adam.mu.items()})
+        arrs.update({f"nu_{k}": _np.asarray(v) for k, v in self.adam.nu.items()})
+        arrs["adam_count"] = _np.asarray(self.adam.count)
+        arrs["step"] = _np.asarray(self.step)
+        arrs["key"] = _np.asarray(self.key)
+        _np.savez(path, **arrs)
+
+    def load_checkpoint(self, path: str) -> None:
+        import numpy as _np
+
+        from ..scene.optim import AdamState
+
+        data = _np.load(path)
+        self.params = {
+            k[2:]: jnp.asarray(v) for k, v in data.items()
+            if k.startswith("p_")
+        }
+        self.adam = AdamState(
+            mu={k[3:]: jnp.asarray(v) for k, v in data.items()
+                if k.startswith("mu_")},
+            nu={k[3:]: jnp.asarray(v) for k, v in data.items()
+                if k.startswith("nu_")},
+            count=jnp.asarray(data["adam_count"]),
+        )
+        self.step = int(data["step"])
+        self.key = jnp.asarray(data["key"])

@@ -51,6 +51,18 @@ def cached_compile(jit_fn, *args, tag: str = "fn", verbose: bool = False):
     )
     key = hashlib.sha256(ident.encode()).hexdigest()[:32]
     path = _cache_path(tag, key)
+    # Debug aid: two runs of "the same" program sometimes produce
+    # different keys (constant divergence between construction paths);
+    # keep a compressed HLO alongside each entry so `zdiff` pinpoints it.
+    hlo_path = path + ".hlo.gz"
+    if not os.path.exists(hlo_path):
+        import gzip
+
+        try:
+            with gzip.open(hlo_path, "wt") as f:
+                f.write(lowered.as_text())
+        except Exception:
+            pass
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:

@@ -169,3 +169,21 @@ class TestExportPipeline:
         np.testing.assert_allclose(
             albedo[used].mean(0), [0.8, 0.2, 0.1], atol=0.05
         )
+
+
+class TestStage2Checkpoint:
+    def test_roundtrip(self, tmp_path):
+        m = sphere_mesh_uv()
+        tr = Stage2Trainer(tiny_opt(), m, seed=0)
+        for _ in range(2):
+            tr.train_step()
+        p = str(tmp_path / "s2.npz")
+        tr.save_checkpoint(p)
+
+        tr2 = Stage2Trainer(tiny_opt(), sphere_mesh_uv(), seed=9)
+        tr2.load_checkpoint(p)
+        assert tr2.step == 2
+        np.testing.assert_array_equal(
+            np.asarray(tr2.params["raw_albedo"]),
+            np.asarray(tr.params["raw_albedo"]),
+        )

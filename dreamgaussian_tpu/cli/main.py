@@ -51,15 +51,47 @@ def build_guidances(opt, ref_rgb):
         else:
             print("[WARN] lambda_zero123 > 0 but no zero123_ckpt given and "
                   "fake_guidance=False; skipping zero123 guidance")
-    if lam_sd > 0 and prompt:
+    if lam_sd > 0 and (prompt or opt.get("imagedream", False)):
         ckpt = opt.get("sd_ckpt", None)
-        if ckpt:
+        if opt.get("imagedream", False):
+            if ckpt:
+                from ..guidance.loader import load_imagedream
+
+                g = load_imagedream(
+                    ckpt, ref_image=ref_rgb, prompt=prompt or "",
+                    negative_prompt=opt.get("negative_prompt", "") or "",
+                )
+            elif use_fake:
+                from ..guidance.fake import fake_imagedream_guidance
+
+                g = fake_imagedream_guidance()
+            else:
+                print("[WARN] imagedream needs sd_ckpt or fake_guidance")
+                return tuple(guidance_fns)
+            guidance_fns.append((lam_sd, g.guidance_fn()))
+        elif opt.get("mvdream", False):
+            if ckpt:
+                from ..guidance.loader import load_stable_diffusion
+
+                g = load_stable_diffusion(
+                    ckpt, prompt=prompt,
+                    negative_prompt=opt.get("negative_prompt", "") or "",
+                    mvdream=True,
+                )
+            elif use_fake:
+                from ..guidance.fake import fake_mvdream_guidance
+
+                g = fake_mvdream_guidance()
+            else:
+                print("[WARN] mvdream needs sd_ckpt or fake_guidance")
+                return tuple(guidance_fns)
+            guidance_fns.append((lam_sd, g.guidance_fn()))
+        elif ckpt:
             from ..guidance.loader import load_stable_diffusion
 
             g = load_stable_diffusion(
                 ckpt, prompt=prompt,
-                negative_prompt=opt.get("negative_prompt", ""),
-                mvdream=opt.get("mvdream", False),
+                negative_prompt=opt.get("negative_prompt", "") or "",
             )
             guidance_fns.append((lam_sd, g.guidance_fn()))
         elif use_fake:

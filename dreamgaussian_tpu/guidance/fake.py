@@ -82,3 +82,39 @@ def fake_zero123_guidance(image_size: int = 64, seed: int = 0,
         stable=stable,
         default_elevation=default_elevation,
     )
+
+
+def fake_mvdream_guidance(image_size: int = 64, seed: int = 0):
+    import numpy as np
+
+    from .sds import MVDreamGuidance
+
+    bk = make_fake_backbone(image_size=image_size, seed=seed)
+    rng = jax.random.PRNGKey(seed + 3)
+    emb = {
+        "pos": jax.random.normal(jax.random.fold_in(rng, 0), (2, 32)) * 0.1,
+        "neg": jnp.zeros((2, 32)),
+    }
+    return MVDreamGuidance(
+        bk, emb, camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
+        image_size=image_size,
+    )
+
+
+def fake_imagedream_guidance(image_size: int = 64, seed: int = 0):
+    from .sds import ImageDreamGuidance
+
+    bk = make_fake_backbone(image_size=image_size, seed=seed)
+    rng = jax.random.PRNGKey(seed + 4)
+    k1, k2 = jax.random.split(rng)
+    return ImageDreamGuidance(
+        bk,
+        embeddings={"pos": jax.random.normal(k1, (2, 32)) * 0.1,
+                    "neg": jnp.zeros((2, 32))},
+        image_embeddings={
+            "pos": jax.random.normal(k2, (5, 16)) * 0.1,
+            "ip_img": jnp.zeros((8, 8, 4)),
+        },
+        camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
+        image_size=image_size,
+    )

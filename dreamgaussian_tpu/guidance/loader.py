@@ -26,8 +26,21 @@ import numpy as np
 
 from .convert import convert_unet, convert_vae, load_torch_state_dict
 from .scheduler import DDIMScheduler
-from .sds import Backbone, StableDiffusionGuidance, Zero123Guidance
-from .unet import SD21_CONFIG, ZERO123_CONFIG, MVDREAM_CONFIG, UNet, UNetConfig
+from .sds import (
+    Backbone,
+    ImageDreamGuidance,
+    MVDreamGuidance,
+    StableDiffusionGuidance,
+    Zero123Guidance,
+)
+from .unet import (
+    IMAGEDREAM_CONFIG,
+    MVDREAM_CONFIG,
+    SD21_CONFIG,
+    ZERO123_CONFIG,
+    UNet,
+    UNetConfig,
+)
 from .vae import AutoencoderKL, VAEConfig
 
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -40,9 +53,8 @@ def _build_backbone(ckpt_dir: str, unet_config: UNetConfig,
         **unet_config.__dict__, "dtype": dtype,
     })
     unet = UNet(unet_config)
-    unet_params = convert_unet(
-        load_torch_state_dict(ckpt_dir, "unet"), unet_config
-    )
+    unet_sd = load_torch_state_dict(ckpt_dir, "unet")
+    unet_params = convert_unet(unet_sd, unet_config)
     vae_cfg = VAEConfig(dtype=dtype)
     vae = AutoencoderKL(vae_cfg)
     vae_params = convert_vae(load_torch_state_dict(ckpt_dir, "vae"), vae_cfg)
@@ -80,22 +92,53 @@ def _encode_text(ckpt_dir: str, prompts: list[str]) -> np.ndarray:
     return np.asarray(enc(input_ids=inputs.input_ids)[0])
 
 
+def _camera_embed_from_ckpt(ckpt_dir: str, unet_config: UNetConfig):
+    """Camera-conditioning MLP for MVDream/ImageDream UNets (maps the
+    normalized 16-dim camera to the time-embedding dim; applied by
+    UNet's camera_embedding pathway at inference — here the loader wires
+    it as a standalone callable for the guidance class)."""
+    sd = load_torch_state_dict(ckpt_dir, "unet")
+    w1 = sd["camera_embedding.linear_1.weight"].T
+    b1 = sd["camera_embedding.linear_1.bias"]
+    w2 = sd["camera_embedding.linear_2.weight"].T
+    b2 = sd["camera_embedding.linear_2.bias"]
+
+    def camera_embed(cam16):
+        h = jnp.asarray(cam16) @ w1 + b1
+        return jax.nn.silu(h) @ w2 + b2
+
+    return camera_embed
+
+
 def load_stable_diffusion(
     ckpt_dir: str,
     prompt: str,
     negative_prompt: str = "",
     mvdream: bool = False,
-    guidance_scale: float = 100.0,
-    image_size: int = 512,
+    guidance_scale: float | None = None,
+    image_size: int | None = None,
     anneal: bool = True,
-) -> StableDiffusionGuidance:
-    """SD 2.1 (or MVDream-shaped) SDS guidance from a local snapshot.
+):
+    """SD 2.1 SDS guidance — or MVDream 4-view joint guidance when
+    ``mvdream`` (the reference's enable_sd switch, main.py:122-143).
 
     Directional prompt embeddings (front/side/back) mirror
     /root/reference/guidance/sd_utils.py:84-94.
     """
-    cfg = MVDREAM_CONFIG if mvdream else SD21_CONFIG
-    backbone = _build_backbone(ckpt_dir, cfg, image_size)
+    if mvdream:
+        image_size = image_size or 256
+        backbone = _build_backbone(ckpt_dir, MVDREAM_CONFIG, image_size)
+        embs = _encode_text(ckpt_dir, [prompt, negative_prompt or ""])
+        return MVDreamGuidance(
+            backbone,
+            {"pos": embs[0], "neg": embs[1]},
+            camera_embed=_camera_embed_from_ckpt(ckpt_dir, MVDREAM_CONFIG),
+            guidance_scale=guidance_scale or 100.0,
+            image_size=image_size,
+            anneal=anneal,
+        )
+    image_size = image_size or 512
+    backbone = _build_backbone(ckpt_dir, SD21_CONFIG, image_size)
     prompts = [prompt, negative_prompt or ""]
     dirs = [f"{prompt}, {d} view" for d in ("front", "side", "back")]
     embs = _encode_text(ckpt_dir, prompts + dirs)
@@ -104,8 +147,38 @@ def load_stable_diffusion(
         "front": embs[2], "side": embs[3], "back": embs[4],
     }
     return StableDiffusionGuidance(
-        backbone, embeddings, guidance_scale=guidance_scale,
+        backbone, embeddings, guidance_scale=guidance_scale or 100.0,
         image_size=image_size, anneal=anneal,
+    )
+
+
+def load_imagedream(
+    ckpt_dir: str,
+    ref_image: np.ndarray,
+    prompt: str,
+    negative_prompt: str = "",
+    guidance_scale: float = 5.0,
+    image_size: int = 256,
+    anneal: bool = True,
+) -> ImageDreamGuidance:
+    """ImageDream 4(+1)-view guidance from a local snapshot
+    (/root/reference/guidance/imagedream_utils.py:45-60)."""
+    backbone = _build_backbone(ckpt_dir, IMAGEDREAM_CONFIG, image_size)
+    embs = _encode_text(ckpt_dir, [prompt, negative_prompt or ""])
+    clip_tokens = _clip_image_embed(ckpt_dir, ref_image)
+    img = jax.image.resize(
+        jnp.asarray(ref_image, jnp.float32)[None],
+        (1, image_size, image_size, 3), "bilinear",
+    ) * 2.0 - 1.0
+    ip_img = np.asarray(backbone.vae_encode(img))[0]
+    return ImageDreamGuidance(
+        backbone,
+        embeddings={"pos": embs[0], "neg": embs[1]},
+        image_embeddings={"pos": clip_tokens, "ip_img": ip_img},
+        camera_embed=_camera_embed_from_ckpt(ckpt_dir, IMAGEDREAM_CONFIG),
+        guidance_scale=guidance_scale,
+        image_size=image_size,
+        anneal=anneal,
     )
 
 

@@ -374,6 +374,18 @@ def save_ply(path: str, params: Mapping[str, jnp.ndarray], aux: GaussianAux) -> 
     alive = np.asarray(aux.alive)
     p = {k: np.asarray(v)[alive] for k, v in params.items()}
     n = p["xyz"].shape[0]
+    if n == 0:
+        # Every gaussian was pruned (possible on very short runs: the
+        # reference-faithful final prune uses live screen-radius stats
+        # that a full-length run zeroes by scheduling accident).
+        print(f"[WARN] saving EMPTY gaussian ply to {path} (0 alive)")
+        plyio.write_ply(
+            path,
+            {"vertex": plyio.structured_from_columns(
+                {name: np.zeros((0,), np.float32) for name in ("x", "y", "z")}
+            )},
+        )
+        return 0
     cols: dict[str, np.ndarray] = {}
     for i, name in enumerate("xyz"):
         cols[name] = p["xyz"][:, i]

@@ -323,23 +323,26 @@ class Stage1Trainer:
             max(opt.get("max_ver", 30), opt.get("max_ver", 30) - self.elevation),
             80 - self.elevation,
         )
-        cams, vers, hors = [], [], []
+        cams, vers, hors, poses = [], [], [], []
         for _ in range(self.batch_size):
             ver = int(self.rng.integers(min_ver, max_ver))
             hor = int(self.rng.integers(-180, 180))
             vers.append(ver)
             hors.append(hor)
             pose = orbit_camera(self.elevation + ver, hor, self.radius)
+            poses.append(pose)
             cams.append(Camera.from_pose(pose, size, size, self.fovy, self.fovx))
             if self.n_views == 4:
                 for i in range(1, 4):
                     pose_i = orbit_camera(
                         self.elevation + ver, hor + 90 * i, self.radius
                     )
+                    poses.append(pose_i)
                     cams.append(
                         Camera.from_pose(pose_i, size, size, self.fovy, self.fovx)
                     )
-        return cams, np.array(vers, np.float32), np.array(hors, np.float32)
+        return (cams, np.array(vers, np.float32), np.array(hors, np.float32),
+                np.stack(poses).astype(np.float32))
 
     def _get_step_fn(self, size: int):
         if size not in self._step_fns:
@@ -366,7 +369,7 @@ class Stage1Trainer:
             ladder[1] if step_ratio < 0.6 else ladder[2]
         )
 
-        cams, vers, hors = self._sample_novel_cameras(size)
+        cams, vers, hors, poses = self._sample_novel_cameras(size)
         novel = {k: jnp.asarray(v) for k, v in stack_cameras(cams).items()}
         known = {k: jnp.asarray(v) for k, v in self.fixed_cam.arrays().items()}
         bg = jnp.asarray(
@@ -381,6 +384,7 @@ class Stage1Trainer:
         cond["vers"] = jnp.asarray(vers)
         cond["hors"] = jnp.asarray(hors)
         cond["radii"] = jnp.zeros_like(jnp.asarray(vers))
+        cond["poses"] = jnp.asarray(poses)
 
         ref_rgb = (
             self.ref_rgb if self.ref_rgb is not None
@@ -453,13 +457,16 @@ class Stage1Trainer:
         size = self._novel_size_for(self.step + 1, iters)
         steps = np.arange(self.step + 1, self.step + k + 1)
 
-        cams_seq, conds, bgs = [], {"vers": [], "hors": [], "radii": []}, []
+        cams_seq = []
+        conds = {"vers": [], "hors": [], "radii": [], "poses": []}
+        bgs = []
         for _ in range(k):
-            cams, vers, hors = self._sample_novel_cameras(size)
+            cams, vers, hors, poses = self._sample_novel_cameras(size)
             cams_seq.append(stack_cameras(cams))
             conds["vers"].append(vers)
             conds["hors"].append(hors)
             conds["radii"].append(np.zeros_like(vers))
+            conds["poses"].append(poses)
             bgs.append(
                 [1.0, 1.0, 1.0]
                 if self.rng.random() > opt.get("invert_bg_prob", 0.5)

@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -92,3 +93,81 @@ class TestProcess:
         ys, xs = np.nonzero(m)
         # object centered-ish
         assert abs(ys.mean() - 15.5) < 3 and abs(xs.mean() - 15.5) < 3
+
+
+class TestGuidanceModes:
+    """Each preset's guidance flavor runs end-to-end with fake priors."""
+
+    def _run(self, tmp_path, config, extra, with_input=True, tiny_input=None):
+        from dreamgaussian_tpu.cli import main as cli1
+
+        over = [
+            "save_path=mode", f"outdir={tmp_path}", "iters=4",
+            "ref_size=32", "num_pts=64", "capacity=128",
+            "novel_resolutions=[32,32,32]", "density_start_iter=100",
+            "density_end_iter=100", "densification_interval=100",
+            "opacity_reset_interval=10000", "fake_guidance=True",
+            "save_mesh=False", "jax_cache=False", *extra,
+        ]
+        if with_input:
+            over.append(f"input={tiny_input}")
+        opt = load_with_cli(config, over)
+        return cli1.run(opt)
+
+    def test_text_mode_sd(self, tmp_path):
+        stats = self._run(
+            tmp_path, "configs/text.yaml",
+            ["prompt=a photo of a hamburger"], with_input=False,
+        )
+        assert np.isfinite(stats["loss"])
+
+    def test_text_mv_mode(self, tmp_path):
+        stats = self._run(
+            tmp_path, "configs/text_mv.yaml",
+            ["prompt=a photo of a hamburger"], with_input=False,
+        )
+        assert np.isfinite(stats["loss"])
+
+    def test_imagedream_mode(self, tmp_path, tiny_input):
+        stats = self._run(
+            tmp_path, "configs/imagedream.yaml",
+            ["prompt=a cartoon disc"], tiny_input=tiny_input,
+        )
+        assert np.isfinite(stats["loss"])
+
+    def test_image_sai_mode(self, tmp_path, tiny_input):
+        stats = self._run(
+            tmp_path, "configs/image_sai.yaml", [], tiny_input=tiny_input,
+        )
+        assert np.isfinite(stats["loss"])
+
+
+class TestSHDegree:
+    def test_sh1_train_save_load_render(self, tmp_path):
+        from dreamgaussian_tpu.scene import load_ply
+        from dreamgaussian_tpu.train import Stage1Trainer
+        from dreamgaussian_tpu.utils.config import Config
+
+        rgb = np.full((32, 32, 3), 0.4, np.float32)
+        opt = Config(dict(
+            iters=6, ref_size=32, num_pts=64, sh_degree=1, batch_size=1,
+            novel_resolutions=[32, 32, 32], warmup_rgb_loss=False,
+            density_start_iter=100, density_end_iter=100,
+            densification_interval=100, opacity_reset_interval=10000,
+            elevation=0, radius=2.0, fovy=49.1, min_ver=-30, max_ver=30,
+            invert_bg_prob=0.5,
+        ))
+        tr = Stage1Trainer(opt, ref_rgb=rgb,
+                           ref_mask=np.ones((32, 32), np.float32),
+                           capacity=128, seed=0)
+        assert tr.params["f_rest"].shape == (128, 3, 3)
+        for _ in range(6):
+            tr.train_step()
+        # f_rest actually received gradient signal
+        assert float(jnp.abs(tr.params["f_rest"]).max()) > 0
+        p = str(tmp_path / "sh1.ply")
+        tr.save_ply(p)
+        params, aux, deg = load_ply(p)
+        assert deg == 1
+        out = tr.render_view(tr.fixed_cam)
+        assert np.isfinite(np.asarray(out.image)).all()

@@ -54,6 +54,8 @@ class Mesh:
             mesh = cls._load_obj(path)
         elif ext == ".ply":
             mesh = cls._load_ply(path)
+        elif ext == ".glb":
+            mesh = cls._load_glb(path)
         else:
             raise ValueError(f"unsupported mesh format: {ext}")
         if resize:
@@ -147,6 +149,70 @@ class Mesh:
         if f is not None:
             f = np.asarray(f, np.int32)
         return cls(v=v, f=f)
+
+    @classmethod
+    def _load_glb(cls, path: str) -> "Mesh":
+        """Minimal glTF 2.0 binary reader: first mesh primitive with
+        POSITION (+ optional NORMAL / TEXCOORD_0 / indices / baseColor
+        PNG). Covers our own writer's layout and standard exporters."""
+        raw = open(path, "rb").read()
+        magic, version, _ = struct.unpack("<III", raw[:12])
+        if magic != 0x46546C67:
+            raise ValueError(f"not a glb file: {path}")
+        off = 12
+        gltf = None
+        blob = b""
+        while off < len(raw):
+            clen, ctype = struct.unpack("<II", raw[off : off + 8])
+            data = raw[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:
+                gltf = json.loads(data)
+            elif ctype == 0x004E4942:
+                blob = data
+            off += 8 + clen
+
+        def read_accessor(idx):
+            acc = gltf["accessors"][idx]
+            view = gltf["bufferViews"][acc["bufferView"]]
+            start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            comp = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+                    5123: np.uint16, 5125: np.uint32, 5126: np.float32}[
+                acc["componentType"]
+            ]
+            ncomp = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}[
+                acc["type"]
+            ]
+            count = acc["count"]
+            arr = np.frombuffer(
+                blob, dtype=comp, count=count * ncomp, offset=start
+            )
+            return arr.reshape(count, ncomp) if ncomp > 1 else arr
+
+        prim = gltf["meshes"][0]["primitives"][0]
+        attrs = prim["attributes"]
+        v = read_accessor(attrs["POSITION"]).astype(np.float32)
+        f = read_accessor(prim["indices"]).astype(np.int32).reshape(-1, 3) \
+            if "indices" in prim else np.arange(
+                len(v), dtype=np.int32).reshape(-1, 3)
+        vn = (read_accessor(attrs["NORMAL"]).astype(np.float32)
+              if "NORMAL" in attrs else None)
+        vt = (read_accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+              if "TEXCOORD_0" in attrs else None)
+        albedo = None
+        if "images" in gltf and gltf["images"]:
+            img_meta = gltf["images"][0]
+            view = gltf["bufferViews"][img_meta["bufferView"]]
+            start = view.get("byteOffset", 0)
+            png = blob[start : start + view["byteLength"]]
+            buf = np.frombuffer(png, np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if img is not None:
+                albedo = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(
+                    np.float32) / 255.0
+        return cls(
+            v=v, f=f, vn=vn, fn=f if vn is not None else None,
+            vt=vt, ft=f if vt is not None else None, albedo=albedo,
+        )
 
     # -------------------------------------------------------------- ops
 

@@ -102,13 +102,12 @@ def rasterize(
     # Feature columns [ROWS, F+1]; padding sentinel column nf = zeros.
     rows = jnp.concatenate(
         [
-            tv.reshape(nf, 6).T,            # x0 y0 x1 y1 x2 y2 (interleaved)
+            tv.reshape(nf, 6).T,             # x0 y0 x1 y1 x2 y2
             tz.T,                            # z0 z1 z2
             (order + 1).astype(jnp.float32)[None, :],
         ],
         axis=0,
     )
-    # Reorder interleaving: tv.reshape gives [x0,y0,x1,y1,x2,y2] per face.
     feat_cols = jnp.pad(rows, ((0, ROWS - rows.shape[0]), (0, 1)))
     dup_feat = jnp.take(feat_cols, bins.dup_map, axis=1)
 

@@ -30,7 +30,6 @@ from .project import project_gaussians
 from .rasterize_pallas import (
     FEAT_ROWS,
     OUT_CH,
-    PIX,
     composite_backward,
     composite_forward,
 )

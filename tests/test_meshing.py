@@ -222,3 +222,24 @@ class TestMeshIO:
         m.auto_size()
         mn, mx = m.aabb()
         assert abs(float((mx - mn).max()) - 1.2) < 1e-5
+
+
+class TestGlbRoundtrip:
+    def test_glb_read_back(self, tmp_path):
+        from dreamgaussian_tpu.meshing.mesh import Mesh
+
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        m = Mesh(v=v, f=f)
+        m.auto_normal()
+        m.auto_uv()
+        m.albedo = np.zeros((8, 8, 3), np.float32)
+        m.albedo[:, :, 0] = 0.75
+        p = str(tmp_path / "rt.glb")
+        m.write(p)
+        m2 = Mesh.load(p, resize=False)
+        np.testing.assert_allclose(m2.v, m.v, atol=1e-6)
+        np.testing.assert_array_equal(m2.f, m.f)
+        assert m2.vt is not None and m2.vn is not None
+        assert m2.albedo is not None
+        np.testing.assert_allclose(m2.albedo[..., 0].mean(), 0.75, atol=0.02)

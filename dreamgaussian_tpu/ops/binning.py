@@ -11,9 +11,12 @@ TPU-first design decisions:
 - **Static shapes**: each gaussian owns ``max_tiles`` duplicate slots;
   unused slots get a sentinel tile id that sorts to the end. Gaussians
   touching more than ``max_tiles`` tiles are truncated (row-major rect
-  order). The reference prunes gaussians with screen radius > 1px during
-  densification (/root/reference/main.py:284), so oversized footprints are
-  rare in practice.
+  order), and the dropped-duplicate total is reported as
+  ``BinnedTiles.overflow`` so callers can detect truncation and escalate
+  ``max_tiles`` (trainers do this automatically). The reference prunes
+  gaussians with screen radius > 1px during densification
+  (/root/reference/main.py:284), so oversized footprints are rare in
+  practice — but never silent here.
 - **Tile size is a parameter.** 16 matches the CUDA reference exactly
   (tile-rect culling is part of the compositing semantics); 32 is the TPU
   sweet spot — 4x fewer duplicates to sort, 4x fewer kernel grid steps,
@@ -53,6 +56,13 @@ class BinnedTiles(NamedTuple):
         backward pass reduce per-duplicate gradients to per-element
         gradients with pure GATHERS instead of XLA's sort-based
         scatter-add (which dominated the backward fusion time).
+    overflow: [] int32 — total duplicates DROPPED by the per-element
+        ``max_tiles`` slot cap (exact demand minus capacity, summed over
+        elements). 0 means the binning was exact; >0 means some elements'
+        tile lists were truncated row-major and the composite is
+        approximate for those tiles. Trainers surface this and escalate
+        ``max_tiles`` (the reference CUDA binning is unbounded, so its
+        demand is always met).
     """
 
     dup_map: jnp.ndarray
@@ -60,6 +70,7 @@ class BinnedTiles(NamedTuple):
     n_chunks: jnp.ndarray
     num_dups: jnp.ndarray
     gather_map: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int,
@@ -132,8 +143,9 @@ def bin_rects(
     k = n * max_tiles
     k_aligned = aligned_capacity(n, max_tiles, num_tiles, chunk)
     rect_w = xmax - xmin
-    count = jnp.where(valid_g, rect_w * (ymax - ymin), 0)
-    count = jnp.minimum(count, max_tiles)
+    demand = jnp.where(valid_g, rect_w * (ymax - ymin), 0)
+    count = jnp.minimum(demand, max_tiles)
+    overflow = jnp.sum(demand - count).astype(jnp.int32)
 
     # Slot m of element i covers rect cell (m % w, m // w), row-major.
     m = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]          # [1, M]
@@ -190,4 +202,5 @@ def bin_rects(
         n_chunks=aligned_counts // chunk,
         num_dups=offsets[-1],
         gather_map=gather_map,
+        overflow=overflow,
     )

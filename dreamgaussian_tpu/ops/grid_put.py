@@ -72,6 +72,11 @@ def mipmap_linear_grid_put_2d(
     result = jnp.zeros((h, w, values.shape[-1]), values.dtype)
     count = jnp.zeros((h, w), values.dtype)
 
+    # All mip levels run unconditionally: the hole mask makes coarser
+    # levels no-ops for texels already seen, so results match the
+    # reference's early-exit loop WITHOUT a host sync per level (a device
+    # round-trip per mip was measurable on tunneled TPUs). The level
+    # count is static => the whole bake stays inside one jit.
     cur_h, cur_w = h, w
     while min(cur_h, cur_w) > min_resolution:
         grid, cnt = linear_grid_put_2d(
@@ -85,8 +90,6 @@ def mipmap_linear_grid_put_2d(
         count = jnp.where(hole, count + cnt, count)
         cur_h //= 2
         cur_w //= 2
-        if bool(jnp.all(count > 0)):
-            break
     if return_count:
         return result, count
     return result / jnp.maximum(count[..., None], 1e-10)

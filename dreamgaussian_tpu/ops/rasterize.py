@@ -40,6 +40,7 @@ class GaussianRender(NamedTuple):
     depth: jnp.ndarray   # [H, W]
     alpha: jnp.ndarray   # [H, W]
     radii: jnp.ndarray   # [N] int32 (0 => culled/invisible)
+    overflow: jnp.ndarray  # [] int32 dropped binning duplicates (0 = exact)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -143,7 +144,8 @@ def rasterize_projected(
     (4x fewer duplicates and grid steps; the only semantic difference is
     the rect-cull granularity, bounded by the alpha<1/255 skip).
 
-    Returns (image[H,W,3] without clamp, depth[H,W], alpha[H,W]).
+    Returns (image[H,W,3] without clamp, depth[H,W], alpha[H,W],
+    overflow[] int32 — dropped binning duplicates; 0 means exact).
     """
     assert width % tile == 0 and height % tile == 0, (
         f"image size must be {tile}-aligned"
@@ -184,7 +186,7 @@ def rasterize_projected(
 
     image = rgb + t_final[..., None] * bg[None, None, :]
     alpha = 1.0 - t_final
-    return image, dep, alpha
+    return image, dep, alpha, bins.overflow
 
 
 def render_gaussians(
@@ -221,7 +223,7 @@ def render_gaussians(
         alive=alive,
     )
     mean2d = proj.mean2d if mean2d_tap is None else proj.mean2d + mean2d_tap
-    image, dep, alpha = rasterize_projected(
+    image, dep, alpha, overflow = rasterize_projected(
         mean2d, proj.depth, proj.conic, proj.color, proj.opacity, proj.radius,
         width, height, bg, max_tiles=max_tiles, chunk=chunk, tile=tile,
     )
@@ -230,4 +232,5 @@ def render_gaussians(
         depth=dep,
         alpha=alpha,
         radii=proj.radius,
+        overflow=overflow,
     )

@@ -76,7 +76,8 @@ def make_dp_train_step(
     (sharded over 'data'); params/adam/aux replicated. With ``tile_axis``
     set (2D data x tile mesh), each render additionally shards its tile
     grid over that axis — DP x SP composition. Returns (params, adam,
-    aux, loss) with identical replicated values.
+    aux, {loss, overflow}) with identical replicated values (overflow =
+    psum of dropped binning duplicates across all views; see binning.py).
     """
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
 
@@ -117,6 +118,7 @@ def make_dp_train_step(
             loss += known / n_dev
         images = []
         radii_sum = jnp.zeros((params["xyz"].shape[0],), jnp.int32)
+        overflow = jnp.int32(0)
         for b in range(views_per_device):
             cam_b = {k: v[b] for k, v in novel_cams.items()}
             out = render_one(
@@ -125,13 +127,14 @@ def make_dp_train_step(
             )
             images.append(out.image)
             radii_sum = jnp.maximum(radii_sum, out.radii)
+            overflow = overflow + out.overflow
         images = jnp.stack(images)
         # Guidance contract: fn returns the MEAN loss over the views given.
         # psum of per-device means / n_dev == the global mean a single
         # device would compute over all views.
         for weight, fn in guidance_fns:
             loss += weight * fn(images, cond, step_ratio, key) / n_dev
-        return loss, radii_sum
+        return loss, (radii_sum, overflow)
 
     @functools.partial(
         jax.shard_map,
@@ -145,7 +148,7 @@ def make_dp_train_step(
                      ref_rgb, ref_mask, key, cond):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(local_loss_fn, argnums=(0, 1), has_aux=True)
-        (loss, radii), (grads, tap_grad) = grad_fn(
+        (loss, (radii, overflow)), (grads, tap_grad) = grad_fn(
             params, tap, step, known_cams, novel_cams, bg, ref_rgb, ref_mask,
             key, cond, aux.alive,
         )
@@ -153,6 +156,7 @@ def make_dp_train_step(
         grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
         grads = jax.lax.psum(grads, "data")
         loss = jax.lax.psum(loss, "data")
+        overflow = jax.lax.psum(overflow, "data")
         tap_grad = jax.lax.psum(jnp.nan_to_num(tap_grad), "data")
         radii = jax.lax.pmax(radii, "data")
 
@@ -166,7 +170,7 @@ def make_dp_train_step(
         }
         params, adam = adam_update(params, grads, adam, lrs)
         aux = accumulate_stats(aux, tap_grad * (novel_size / 2.0), radii)
-        return params, adam, aux, loss
+        return params, adam, aux, {"loss": loss, "overflow": overflow}
 
     return jax.jit(sharded_step)
 

@@ -106,7 +106,9 @@ def rasterize_projected_tile_sharded(
     t_final = hw[..., 4]
     image = rgb + t_final[..., None] * bg[None, None, :]
     alpha = 1.0 - t_final
-    return image, dep, alpha
+    # Binning is replicated, so overflow is the same global value on
+    # every shard — no collective needed.
+    return image, dep, alpha, bins.overflow
 
 
 def render_gaussians_tile_sharded(
@@ -126,14 +128,14 @@ def render_gaussians_tile_sharded(
         width, height, sh_degree=sh_degree, alive=alive,
     )
     mean2d = proj.mean2d if mean2d_tap is None else proj.mean2d + mean2d_tap
-    image, dep, alpha = rasterize_projected_tile_sharded(
+    image, dep, alpha, overflow = rasterize_projected_tile_sharded(
         mean2d, proj.depth, proj.conic, proj.color, proj.opacity, proj.radius,
         width, height, bg, axis_name=axis_name,
         max_tiles=max_tiles, chunk=chunk, tile=tile,
     )
     return GaussianRender(
         image=jnp.clip(image, 0.0, 1.0), depth=dep, alpha=alpha,
-        radii=proj.radius,
+        radii=proj.radius, overflow=overflow,
     )
 
 

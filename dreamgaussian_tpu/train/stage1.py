@@ -106,6 +106,7 @@ def make_train_step(
 
         images = []
         last = None
+        overflow = jnp.int32(0)
         for b in range(n_novel):
             cam_b = {k: v[b] for k, v in novel_cams.items()}
             t = tap if b == n_novel - 1 else None
@@ -114,18 +115,19 @@ def make_train_step(
                 tap=t, max_tiles=max_tiles, chunk=chunk,
             )
             images.append(last.image)
+            overflow = overflow + last.overflow
         images = jnp.stack(images) if images else jnp.zeros((0,))
 
         for weight, fn in guidance_fns:
             loss += weight * fn(images, cond, step_ratio, key)
-        return loss, (last.radii if last is not None else None)
+        return loss, (last.radii if last is not None else None, overflow)
 
     @jax.jit
     def step_fn(params, adam, aux, step, known_cams, novel_cams, bg,
                 ref_rgb, ref_mask, key, cond, accum_stats):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (loss, radii), (grads, tap_grad) = grad_fn(
+        (loss, (radii, overflow)), (grads, tap_grad) = grad_fn(
             params, tap, step, known_cams, novel_cams, bg, ref_rgb,
             ref_mask, key, cond, aux.alive,
         )
@@ -150,7 +152,7 @@ def make_train_step(
             aux = jax.tree.map(
                 lambda a, b: jnp.where(accum_stats, b, a), aux, new_aux
             )
-        return params, adam, aux, loss
+        return params, adam, aux, {"loss": loss, "overflow": overflow}
 
     return step_fn
 
@@ -193,7 +195,7 @@ def make_train_scan(
         def body(carry, xs):
             params, adam, aux = carry
             (step, ncams, bg, key, cond, accum, do_d, do_r, dkey) = xs
-            params, adam, aux, loss = step_fn(
+            params, adam, aux, metrics = step_fn(
                 params, adam, aux, step, known_cams, ncams, bg,
                 ref_rgb, ref_mask, key, cond, accum,
             )
@@ -209,14 +211,14 @@ def make_train_scan(
                 lambda t: t,
                 (params, adam),
             )
-            return (params, adam, aux), loss
+            return (params, adam, aux), metrics
 
         xs = (steps, novel_cams_seq, bgs, keys, conds_seq, accums,
               densify_flags, reset_flags, densify_keys)
-        (params, adam, aux), losses = jax.lax.scan(
+        (params, adam, aux), metrics = jax.lax.scan(
             body, (params, adam, aux), xs
         )
-        return params, adam, aux, losses
+        return params, adam, aux, metrics
 
     return scan_fn
 
@@ -243,6 +245,12 @@ class Stage1Trainer:
         self.capacity = capacity
         self.guidance_fns = guidance_fns
         self.cond = cond or {}
+        # Binning duplicate-slot cap. Overflow (a gaussian spanning more
+        # tiles than this) is detected per step and escalates the cap
+        # (one retrace) — never silently wrong for more than the segment
+        # that first detected it.
+        self.max_tiles = int(opt.get("max_tiles", 12))
+        self.overflow = None  # device value of the last step/segment
 
         load = opt.get("load", None)
         if load:
@@ -355,8 +363,32 @@ class Stage1Trainer:
                 warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
                 lr_schedules=self.lr_schedules,
                 guidance_fns=self.guidance_fns,
+                max_tiles=self.max_tiles,
             )
         return self._step_fns[size]
+
+    def _check_overflow(self) -> None:
+        """Detect binning truncation and escalate ``max_tiles``.
+
+        Called at host-sync points (log boundaries). Escalation clears
+        the compiled-step cache — one retrace at the new capacity; the
+        steps already taken at the old capacity rendered slightly wrong
+        for the overflowing gaussians (the reference CUDA binning is
+        unbounded, so this is our only approximation), which the log
+        makes visible.
+        """
+        if self.overflow is None:
+            return
+        ov = int(np.max(np.asarray(self.overflow)))
+        if ov > 0:
+            new = min(self.max_tiles * 2, 256)
+            print(
+                f"[stage1] WARNING: binning overflow ({ov} duplicates "
+                f"dropped); escalating max_tiles {self.max_tiles} -> {new}"
+            )
+            self.max_tiles = new
+            self._step_fns.clear()
+        self.overflow = None
 
     def train_step(self) -> float:
         opt = self.opt
@@ -401,11 +433,13 @@ class Stage1Trainer:
             <= opt.get("density_end_iter", 3000)
         )
         step_fn = self._get_step_fn(size)
-        self.params, self.adam, self.aux, loss = step_fn(
+        self.params, self.adam, self.aux, metrics = step_fn(
             self.params, self.adam, self.aux, jnp.float32(self.step),
             known, novel, bg, ref_rgb, ref_mask, k_step, cond,
             jnp.asarray(in_window),
         )
+        loss = metrics["loss"]
+        self.overflow = metrics["overflow"]
 
         if in_window:
             if self.step % opt.get("densification_interval", 100) == 0:
@@ -441,7 +475,8 @@ class Stage1Trainer:
                 densify_fn=self._densify_pure,
                 reset_fn=reset_opacity,
                 guidance_fns=self.guidance_fns,
-            ), tag=f"s1scan_{size}_{k}", verbose=True)
+                max_tiles=self.max_tiles,
+            ), tag=f"s1scan_{size}_{k}_mt{self.max_tiles}", verbose=True)
         return self._step_fns[key]
 
     def _novel_size_for(self, step: int, iters: int) -> int:
@@ -510,7 +545,7 @@ class Stage1Trainer:
             else jnp.zeros((self.ref_size, self.ref_size))
         )
         scan_fn = self._get_scan_fn(size, k)
-        self.params, self.adam, self.aux, losses = scan_fn(
+        self.params, self.adam, self.aux, metrics = scan_fn(
             self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
             jnp.asarray(steps, jnp.float32),
             novel_seq, jnp.asarray(bgs, jnp.float32), keys, conds_seq,
@@ -518,7 +553,8 @@ class Stage1Trainer:
             jnp.asarray(reset_flags), dkeys,
         )
         self.step += k
-        return losses
+        self.overflow = metrics["overflow"]
+        return metrics["loss"]
 
     def train(self, iters: int | None = None, log_every: int = 100,
               checkpoint_every: int = 0, checkpoint_dir: str | None = None,
@@ -542,6 +578,7 @@ class Stage1Trainer:
                     k += 1
                 losses = self.train_segment(k, total)
                 loss = losses[-1]
+                self._check_overflow()
                 if log_every:
                     print(
                         f"[stage1] step {self.step} loss {float(loss):.4f} "
@@ -564,6 +601,7 @@ class Stage1Trainer:
                     f"[stage1] step {self.step} loss {float(loss):.4f} "
                     f"alive {int(num_alive(self.aux))}"
                 )
+                self._check_overflow()
             if (checkpoint_every and checkpoint_dir
                     and self.step % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_dir)

@@ -180,14 +180,18 @@ class Stage2Trainer:
                     (out["alpha"] > 0) & (out["viewcos"] > 0.5)
                 ).astype(jnp.float32)
                 loss += jnp.mean(((out["image"] - ref_rgb) * valid) ** 2)
+            # targets: [n_fns, B, H, W, 3] — one refined target per
+            # refine fn, each weighted by its own lambda (the reference
+            # adds an independent MSE term per enabled guidance,
+            # /root/reference/main2.py:240-258).
             for b in range(n_novel):
                 arr = {k: v[b] for k, v in novel_arrs.items()}
                 out = render_mesh(
                     st, arr, novel_rots[b], size, size,
                     ssaa=ssaa_novel, train_geo=train_geo,
                 )
-                for lam in lambda_refine:
-                    loss += lam * jnp.mean((out["image"] - targets[b]) ** 2)
+                for i, lam in enumerate(lambda_refine):
+                    loss += lam * jnp.mean((out["image"] - targets[i, b]) ** 2)
             return loss
 
         @jax.jit
@@ -234,13 +238,19 @@ class Stage2Trainer:
         cond["radii"] = jnp.zeros_like(jnp.asarray(vers))
         cond["poses"] = jnp.asarray(poses)
 
-        targets = images
+        # One independent refined target per refine fn (each fn denoises
+        # the SAME renders; targets never chain through each other).
+        per_fn_targets = []
         for _, refine in self.refine_fns:
             self.key, k = jax.random.split(self.key)
-            targets = refine(images, cond, strength, k)
-            targets = jax.image.resize(
-                jnp.asarray(targets), images.shape, "bilinear"
+            t = refine(images, cond, strength, k)
+            per_fn_targets.append(
+                jax.image.resize(jnp.asarray(t), images.shape, "bilinear")
             )
+        if per_fn_targets:
+            targets = jnp.stack(per_fn_targets)
+        else:
+            targets = jnp.zeros((0,) + images.shape, images.dtype)
         targets = jax.lax.stop_gradient(targets)
 
         novel_arrs_list = [c.arrays() for c in cams]

@@ -56,11 +56,13 @@ class TestDP:
                                   0.857).arrays().items()}
         ref_rgb = jnp.ones((32, 32, 3)) * 0.5
         ref_mask = jnp.ones((32, 32))
-        p2, a2, x2, loss = step_fn(
+        p2, a2, x2, metrics = step_fn(
             params, adam, aux, jnp.float32(1.0), known, novel,
             jnp.ones(3), ref_rgb, ref_mask, jax.random.PRNGKey(1), {},
         )
+        loss = metrics["loss"]
         assert np.isfinite(float(loss))
+        assert int(metrics["overflow"]) == 0
         # Params changed and are fully replicated (single logical value).
         assert not np.allclose(np.asarray(p2["xyz"]), np.asarray(params["xyz"]))
         assert float(jnp.sum(x2.denom)) > 0
@@ -85,22 +87,24 @@ class TestDP:
             views_per_device=1, use_known_view=True, warmup_rgb_loss=False,
             lr_schedules=LRS, guidance_fns=((1.0, fake_guidance),),
         )
-        p_dp, _, _, loss_dp = dp_fn(
+        p_dp, _, _, m_dp = dp_fn(
             params, adam, aux, jnp.float32(1.0), known,
             shard_cameras(mesh, views), jnp.ones(3), ref_rgb, ref_mask,
             key, {},
         )
+        loss_dp = m_dp["loss"]
 
         single_fn = make_train_step(
             novel_size=32, n_novel=8, ref_size=32, sh_degree=0,
             use_known_view=True, warmup_rgb_loss=False, lr_schedules=LRS,
             guidance_fns=((1.0, fake_guidance),),
         )
-        p_s, _, _, loss_s = single_fn(
+        p_s, _, _, m_s = single_fn(
             params, adam, aux, jnp.float32(1.0), known,
             {k: jnp.asarray(v) for k, v in views.items()},
             jnp.ones(3), ref_rgb, ref_mask, key, {}, jnp.asarray(True),
         )
+        loss_s = m_s["loss"]
         np.testing.assert_allclose(float(loss_dp), float(loss_s), rtol=1e-5)
         np.testing.assert_allclose(
             np.asarray(p_dp["xyz"]), np.asarray(p_s["xyz"]), atol=1e-5

@@ -45,29 +45,75 @@ def build_refiners(opt, ref_rgb):
             )
 
         refine_fns.append((lam_123, refine_123))
-    if lam_sd > 0 and opt.get("prompt", ""):
-        if opt.get("sd_ckpt", None):
-            from ..guidance.loader import load_stable_diffusion
+    if lam_sd > 0 and (opt.get("prompt", "") or opt.get("imagedream", False)):
+        steps = opt.get("refine_steps", 50)
+        if opt.get("imagedream", False):
+            if opt.get("sd_ckpt", None):
+                from ..guidance.loader import load_imagedream
 
-            g = load_stable_diffusion(
-                opt.sd_ckpt, prompt=opt.prompt,
-                negative_prompt=opt.get("negative_prompt", ""),
-                mvdream=opt.get("mvdream", False),
-            )
-        elif use_fake:
-            from ..guidance.fake import fake_sd_guidance
+                g = load_imagedream(
+                    opt.sd_ckpt, ref_image=ref_rgb,
+                    prompt=opt.get("prompt", "") or "",
+                    negative_prompt=opt.get("negative_prompt", "") or "",
+                )
+            elif use_fake:
+                from ..guidance.fake import fake_imagedream_guidance
 
-            g = fake_sd_guidance()
+                g = fake_imagedream_guidance()
+            else:
+                return tuple(refine_fns)
+
+            def refine_mv(images, cond, strength, key, _g=g):
+                return _g.refine(
+                    images, cond["poses"], key, strength=float(strength),
+                    steps=steps,
+                )
+
+            refine_fns.append((lam_sd, refine_mv))
+        elif opt.get("mvdream", False):
+            if opt.get("sd_ckpt", None):
+                from ..guidance.loader import load_mvdream
+
+                g = load_mvdream(
+                    opt.sd_ckpt, prompt=opt.prompt,
+                    negative_prompt=opt.get("negative_prompt", "") or "",
+                )
+            elif use_fake:
+                from ..guidance.fake import fake_mvdream_guidance
+
+                g = fake_mvdream_guidance()
+            else:
+                return tuple(refine_fns)
+
+            def refine_mv(images, cond, strength, key, _g=g):
+                return _g.refine(
+                    images, cond["poses"], key, strength=float(strength),
+                    steps=steps,
+                )
+
+            refine_fns.append((lam_sd, refine_mv))
         else:
-            return tuple(refine_fns)
+            if opt.get("sd_ckpt", None):
+                from ..guidance.loader import load_stable_diffusion
 
-        def refine_sd(images, cond, strength, key, _g=g):
-            return _g.refine(
-                images, key, strength=float(strength),
-                steps=opt.get("refine_steps", 50), hors=cond.get("hors"),
-            )
+                g = load_stable_diffusion(
+                    opt.sd_ckpt, prompt=opt.prompt,
+                    negative_prompt=opt.get("negative_prompt", ""),
+                )
+            elif use_fake:
+                from ..guidance.fake import fake_sd_guidance
 
-        refine_fns.append((lam_sd, refine_sd))
+                g = fake_sd_guidance()
+            else:
+                return tuple(refine_fns)
+
+            def refine_sd(images, cond, strength, key, _g=g):
+                return _g.refine(
+                    images, key, strength=float(strength),
+                    steps=steps, hors=cond.get("hors"),
+                )
+
+            refine_fns.append((lam_sd, refine_sd))
     return tuple(refine_fns)
 
 

@@ -95,10 +95,7 @@ def fake_mvdream_guidance(image_size: int = 64, seed: int = 0):
         "pos": jax.random.normal(jax.random.fold_in(rng, 0), (2, 32)) * 0.1,
         "neg": jnp.zeros((2, 32)),
     }
-    return MVDreamGuidance(
-        bk, emb, camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
-        image_size=image_size,
-    )
+    return MVDreamGuidance(bk, emb, image_size=image_size)
 
 
 def fake_imagedream_guidance(image_size: int = 64, seed: int = 0):
@@ -115,6 +112,5 @@ def fake_imagedream_guidance(image_size: int = 64, seed: int = 0):
             "pos": jax.random.normal(k2, (5, 16)) * 0.1,
             "ip_img": jnp.zeros((8, 8, 4)),
         },
-        camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
         image_size=image_size,
     )

@@ -1,13 +1,24 @@
-"""Assemble real guidance objects from local diffusers-format checkpoints.
+"""Assemble real guidance objects from local checkpoints.
 
-Checkpoint directories follow the HF snapshot layout the reference
-downloads (stabilityai/stable-diffusion-2-1-base,
-ashawkey/zero123-xl-diffusers, ashawkey/stable-zero123-diffusers):
+Two checkpoint layouts are supported:
 
-    <dir>/unet/diffusion_pytorch_model.{safetensors,bin}
-    <dir>/vae/...
-    <dir>/text_encoder/ + <dir>/tokenizer/      (SD)
-    <dir>/image_encoder/ + <dir>/clip_camera_projection/   (zero123)
+1. **Diffusers snapshot directories** — the HF layout the reference
+   downloads (stabilityai/stable-diffusion-2-1-base,
+   ashawkey/zero123-xl-diffusers, ashawkey/stable-zero123-diffusers):
+
+       <dir>/unet/diffusion_pytorch_model.{safetensors,bin}
+       <dir>/vae/...
+       <dir>/text_encoder/ + <dir>/tokenizer/      (SD)
+       <dir>/image_encoder/ + <dir>/clip_camera_projection/   (zero123)
+
+2. **Single-file LDM checkpoints** — what the MVDream / ImageDream pip
+   packages the reference imports actually load
+   (/root/reference/guidance/mvdream_utils.py:28-29 build_model):
+   ``sd-v2.1-base-4view.pt`` / ``sd-v2.1-base-4view-ipmv.pt`` with
+   ``model.diffusion_model.*`` / ``first_stage_model.*`` /
+   ``cond_stage_model.model.*`` keys. Tokenizer (and for ImageDream the
+   CLIP vision encoder) are HF-format directories next to the file or
+   passed explicitly.
 
 Weights are converted on the fly (convert.py) into the NHWC Flax modules;
 UNet/VAE run in bfloat16 by default (f32 GroupNorm statistics — see
@@ -17,6 +28,7 @@ unet.GroupNorm32), matching the reference's fp16 usage
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -24,7 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .convert import convert_unet, convert_vae, load_torch_state_dict
+from .convert import (
+    convert_ldm_unet,
+    convert_ldm_vae,
+    convert_open_clip_text,
+    convert_unet,
+    convert_vae,
+    is_ldm_layout,
+    load_torch_state_dict,
+)
 from .scheduler import DDIMScheduler
 from .sds import (
     Backbone,
@@ -33,6 +53,7 @@ from .sds import (
     StableDiffusionGuidance,
     Zero123Guidance,
 )
+from .text_encoder import OpenCLIPTextConfig, OpenCLIPTextEncoder
 from .unet import (
     IMAGEDREAM_CONFIG,
     MVDREAM_CONFIG,
@@ -47,18 +68,8 @@ CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def _build_backbone(ckpt_dir: str, unet_config: UNetConfig,
-                    image_size: int, dtype=jnp.bfloat16) -> Backbone:
-    unet_config = UNetConfig(**{
-        **unet_config.__dict__, "dtype": dtype,
-    })
-    unet = UNet(unet_config)
-    unet_sd = load_torch_state_dict(ckpt_dir, "unet")
-    unet_params = convert_unet(unet_sd, unet_config)
-    vae_cfg = VAEConfig(dtype=dtype)
-    vae = AutoencoderKL(vae_cfg)
-    vae_params = convert_vae(load_torch_state_dict(ckpt_dir, "vae"), vae_cfg)
-
+def _backbone_from_params(unet, unet_params, vae, vae_params,
+                          image_size: int) -> Backbone:
     unet_apply = jax.jit(
         lambda x, t, ctx, **kw: unet.apply(unet_params, x, t, ctx, **kw)
     )
@@ -77,6 +88,37 @@ def _build_backbone(ckpt_dir: str, unet_config: UNetConfig,
     )
 
 
+def _build_backbone(ckpt_dir: str, unet_config: UNetConfig,
+                    image_size: int, dtype=jnp.bfloat16) -> Backbone:
+    """Diffusers-directory layout (unet/ + vae/ subfolders)."""
+    unet_config = dataclasses.replace(unet_config, dtype=dtype)
+    unet = UNet(unet_config)
+    unet_sd = load_torch_state_dict(ckpt_dir, "unet")
+    unet_params = convert_unet(unet_sd, unet_config)
+    vae_cfg = VAEConfig(dtype=dtype)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = convert_vae(load_torch_state_dict(ckpt_dir, "vae"), vae_cfg)
+    return _backbone_from_params(unet, unet_params, vae, vae_params,
+                                 image_size)
+
+
+def _build_backbone_ldm(sd: dict, unet_config: UNetConfig,
+                        image_size: int, dtype=jnp.bfloat16,
+                        vae_config: VAEConfig | None = None) -> Backbone:
+    """Single-file LDM layout (model.diffusion_model.* etc.)."""
+    unet_config = dataclasses.replace(unet_config, dtype=dtype)
+    unet = UNet(unet_config)
+    unet_params = convert_ldm_unet(sd, unet_config)
+    vae_cfg = dataclasses.replace(vae_config or VAEConfig(), dtype=dtype)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = convert_ldm_vae(sd, vae_cfg)
+    factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+    return _backbone_from_params(unet, unet_params, vae, vae_params,
+                                 image_size)._replace(
+        latent_size=image_size // factor
+    )
+
+
 def _encode_text(ckpt_dir: str, prompts: list[str]) -> np.ndarray:
     """CLIP text embeddings [N, 77, D] via transformers Flax."""
     from transformers import CLIPTokenizer, FlaxCLIPTextModel
@@ -92,22 +134,45 @@ def _encode_text(ckpt_dir: str, prompts: list[str]) -> np.ndarray:
     return np.asarray(enc(input_ids=inputs.input_ids)[0])
 
 
-def _camera_embed_from_ckpt(ckpt_dir: str, unet_config: UNetConfig):
-    """Camera-conditioning MLP for MVDream/ImageDream UNets (maps the
-    normalized 16-dim camera to the time-embedding dim; applied by
-    UNet's camera_embedding pathway at inference — here the loader wires
-    it as a standalone callable for the guidance class)."""
-    sd = load_torch_state_dict(ckpt_dir, "unet")
-    w1 = sd["camera_embedding.linear_1.weight"].T
-    b1 = sd["camera_embedding.linear_1.bias"]
-    w2 = sd["camera_embedding.linear_2.weight"].T
-    b2 = sd["camera_embedding.linear_2.bias"]
+def _tokenize_open_clip(tokenizer_dir: str, prompts: list[str],
+                        context_length: int = 77) -> np.ndarray:
+    """open_clip-style token ids [N, 77]: [SOT] tokens [EOT] zero-padded
+    (open_clip.tokenize semantics — HF CLIPTokenizer shares the BPE but
+    pads differently, so pad manually with id 0)."""
+    from transformers import CLIPTokenizer
 
-    def camera_embed(cam16):
-        h = jnp.asarray(cam16) @ w1 + b1
-        return jax.nn.silu(h) @ w2 + b2
+    tok = CLIPTokenizer.from_pretrained(tokenizer_dir)
+    out = []
+    for p in prompts:
+        ids = tok(p, truncation=True, max_length=context_length)["input_ids"]
+        out.append(ids + [0] * (context_length - len(ids)))
+    return np.asarray(out, np.int32)
 
-    return camera_embed
+
+def _encode_text_open_clip(sd: dict, tokenizer_dir: str,
+                           prompts: list[str]) -> np.ndarray:
+    """Penultimate-layer embeddings [N, 77, 1024] via the checkpoint's
+    embedded open_clip text tower (ldm FrozenOpenCLIPEmbedder path)."""
+    width = int(np.asarray(sd["cond_stage_model.model.ln_final.weight"]).shape[0])
+    heads = max(1, width // 64)
+    n_layers = 0
+    while (f"cond_stage_model.model.transformer.resblocks.{n_layers}"
+           ".ln_1.weight") in sd:
+        n_layers += 1
+    vocab, _ = np.asarray(
+        sd["cond_stage_model.model.token_embedding.weight"]
+    ).shape
+    ctx_len = int(np.asarray(
+        sd["cond_stage_model.model.positional_embedding"]
+    ).shape[0])
+    cfg = OpenCLIPTextConfig(
+        vocab_size=vocab, width=width, heads=heads, layers=n_layers,
+        context_length=ctx_len,
+    )
+    enc = OpenCLIPTextEncoder(cfg)
+    params = convert_open_clip_text(sd, cfg)
+    ids = _tokenize_open_clip(tokenizer_dir, prompts, ctx_len)
+    return np.asarray(enc.apply(params, jnp.asarray(ids)))
 
 
 def load_stable_diffusion(
@@ -126,16 +191,10 @@ def load_stable_diffusion(
     /root/reference/guidance/sd_utils.py:84-94.
     """
     if mvdream:
-        image_size = image_size or 256
-        backbone = _build_backbone(ckpt_dir, MVDREAM_CONFIG, image_size)
-        embs = _encode_text(ckpt_dir, [prompt, negative_prompt or ""])
-        return MVDreamGuidance(
-            backbone,
-            {"pos": embs[0], "neg": embs[1]},
-            camera_embed=_camera_embed_from_ckpt(ckpt_dir, MVDREAM_CONFIG),
+        return load_mvdream(
+            ckpt_dir, prompt, negative_prompt=negative_prompt,
             guidance_scale=guidance_scale or 100.0,
-            image_size=image_size,
-            anneal=anneal,
+            image_size=image_size or 256, anneal=anneal,
         )
     image_size = image_size or 512
     backbone = _build_backbone(ckpt_dir, SD21_CONFIG, image_size)
@@ -152,20 +211,90 @@ def load_stable_diffusion(
     )
 
 
+def load_mvdream(
+    ckpt: str,
+    prompt: str,
+    negative_prompt: str = "",
+    tokenizer_dir: str | None = None,
+    guidance_scale: float = 100.0,
+    image_size: int = 256,
+    anneal: bool = True,
+    unet_config: UNetConfig | None = None,
+    vae_config: VAEConfig | None = None,
+    dtype=jnp.bfloat16,
+) -> MVDreamGuidance:
+    """MVDream 4-view guidance.
+
+    ``ckpt``: either a diffusers snapshot directory (unet/ vae/
+    text_encoder/ tokenizer/ subfolders, camera MLP converted into the
+    UNet's ``camera_embedding``) or the single ``sd-v2.1-base-4view.pt``
+    LDM file the mvdream package ships
+    (/root/reference/guidance/mvdream_utils.py:28-29); for the latter,
+    ``tokenizer_dir`` (HF CLIPTokenizer files) defaults to a ``tokenizer``
+    directory next to the file."""
+    prompts = [prompt, negative_prompt or ""]
+    ucfg = unet_config or MVDREAM_CONFIG
+    if os.path.isfile(ckpt):
+        sd = load_torch_state_dict(ckpt)
+        if not is_ldm_layout(sd):
+            raise ValueError(f"{ckpt} is not an LDM-layout checkpoint")
+        backbone = _build_backbone_ldm(sd, ucfg, image_size, dtype=dtype,
+                                       vae_config=vae_config)
+        tok_dir = tokenizer_dir or os.path.join(
+            os.path.dirname(ckpt), "tokenizer"
+        )
+        embs = _encode_text_open_clip(sd, tok_dir, prompts)
+    else:
+        backbone = _build_backbone(ckpt, ucfg, image_size, dtype=dtype)
+        embs = _encode_text(ckpt, prompts)
+    return MVDreamGuidance(
+        backbone,
+        {"pos": embs[0], "neg": embs[1]},
+        guidance_scale=guidance_scale,
+        image_size=image_size,
+        anneal=anneal,
+    )
+
+
 def load_imagedream(
-    ckpt_dir: str,
+    ckpt: str,
     ref_image: np.ndarray,
     prompt: str,
     negative_prompt: str = "",
+    tokenizer_dir: str | None = None,
+    image_encoder_dir: str | None = None,
     guidance_scale: float = 5.0,
     image_size: int = 256,
     anneal: bool = True,
+    unet_config: UNetConfig | None = None,
+    vae_config: VAEConfig | None = None,
+    dtype=jnp.bfloat16,
 ) -> ImageDreamGuidance:
-    """ImageDream 4(+1)-view guidance from a local snapshot
-    (/root/reference/guidance/imagedream_utils.py:45-60)."""
-    backbone = _build_backbone(ckpt_dir, IMAGEDREAM_CONFIG, image_size)
-    embs = _encode_text(ckpt_dir, [prompt, negative_prompt or ""])
-    clip_tokens = _clip_image_embed(ckpt_dir, ref_image)
+    """ImageDream 4(+1)-view guidance
+    (/root/reference/guidance/imagedream_utils.py:45-60).
+
+    ``ckpt``: diffusers snapshot directory OR the single
+    ``sd-v2.1-base-4view-ipmv.pt`` LDM file. The CLIP ViT-H vision
+    encoder (for the ip tokens) is an HF-format directory: the snapshot's
+    ``image_encoder`` subfolder, or ``image_encoder_dir`` / a sibling
+    directory for the single-file layout."""
+    is_file = os.path.isfile(ckpt)
+    base_dir = os.path.dirname(ckpt) if is_file else ckpt
+    enc_dir = image_encoder_dir or os.path.join(base_dir, "image_encoder")
+    prompts = [prompt, negative_prompt or ""]
+    ucfg = unet_config or IMAGEDREAM_CONFIG
+    if is_file:
+        sd = load_torch_state_dict(ckpt)
+        if not is_ldm_layout(sd):
+            raise ValueError(f"{ckpt} is not an LDM-layout checkpoint")
+        backbone = _build_backbone_ldm(sd, ucfg, image_size, dtype=dtype,
+                                       vae_config=vae_config)
+        tok_dir = tokenizer_dir or os.path.join(base_dir, "tokenizer")
+        embs = _encode_text_open_clip(sd, tok_dir, prompts)
+    else:
+        backbone = _build_backbone(ckpt, ucfg, image_size, dtype=dtype)
+        embs = _encode_text(ckpt, prompts)
+    clip_tokens = _clip_image_tokens(enc_dir, ref_image)
     img = jax.image.resize(
         jnp.asarray(ref_image, jnp.float32)[None],
         (1, image_size, image_size, 3), "bilinear",
@@ -175,11 +304,18 @@ def load_imagedream(
         backbone,
         embeddings={"pos": embs[0], "neg": embs[1]},
         image_embeddings={"pos": clip_tokens, "ip_img": ip_img},
-        camera_embed=_camera_embed_from_ckpt(ckpt_dir, IMAGEDREAM_CONFIG),
         guidance_scale=guidance_scale,
         image_size=image_size,
         anneal=anneal,
     )
+
+
+def _clip_pixel_values(image: np.ndarray, size: int = 224) -> np.ndarray:
+    img = jax.image.resize(
+        jnp.asarray(image, jnp.float32), (size, size, 3), "bilinear"
+    )
+    img = (np.asarray(img) - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    return img.transpose(2, 0, 1)[None]  # NCHW
 
 
 def _clip_image_embed(ckpt_dir: str, image: np.ndarray) -> np.ndarray:
@@ -191,13 +327,20 @@ def _clip_image_embed(ckpt_dir: str, image: np.ndarray) -> np.ndarray:
     enc = FlaxCLIPVisionModelWithProjection.from_pretrained(
         os.path.join(ckpt_dir, "image_encoder"), from_pt=True
     )
-    img = jax.image.resize(
-        jnp.asarray(image, jnp.float32), (224, 224, 3), "bilinear"
-    )
-    img = (np.asarray(img) - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
-    pixel_values = img.transpose(2, 0, 1)[None]  # NCHW
-    out = enc(pixel_values=pixel_values)
+    out = enc(pixel_values=_clip_pixel_values(image))
     return np.asarray(out.image_embeds)
+
+
+def _clip_image_tokens(encoder_dir: str, image: np.ndarray) -> np.ndarray:
+    """CLIP vision TOKEN sequence [257, 1280] (cls + patches) of an RGB
+    [H,W,3] image in [0,1] — ImageDream's ip conditioning
+    (get_learned_image_conditioning, consumed by the UNet's resampler)."""
+    from transformers import FlaxCLIPVisionModel
+
+    enc = FlaxCLIPVisionModel.from_pretrained(encoder_dir, from_pt=True)
+    size = getattr(enc.config, "image_size", 224)
+    out = enc(pixel_values=_clip_pixel_values(image, size))
+    return np.asarray(out.last_hidden_state[0])
 
 
 def load_zero123(

@@ -319,13 +319,17 @@ def mvdream_camera(poses):
 
 
 class MVDreamGuidance:
-    """4-view joint SDS (no w(t) weighting; camera embed added to temb)."""
+    """4-view joint SDS (no w(t) weighting).
+
+    The RAW normalized 16-dim camera goes straight into the UNet's
+    ``camera`` input — the UNet embeds it internally with its own
+    ``camera_embedding`` MLP (matching the mvdream MultiViewUNetModel;
+    the embed is applied exactly once)."""
 
     def __init__(
         self,
         backbone: Backbone,
         embeddings: dict,
-        camera_embed: Callable,  # (cam16 [B,16]) -> [B, temb_dim] added ctx
         guidance_scale: float = 100.0,
         t_range=(0.02, 0.98),
         image_size: int = 256,
@@ -340,7 +344,6 @@ class MVDreamGuidance:
         self.image_size = image_size
         self.anneal = anneal
         self.num_views = num_views
-        self.camera_embed = camera_embed
         self.emb = {k: jnp.asarray(v) for k, v in embeddings.items()}
 
     def guidance_fn(self):
@@ -364,13 +367,13 @@ class MVDreamGuidance:
                 jax.lax.stop_gradient(latents), noise, t_b
             )
 
-            camera = self.camera_embed(mvdream_camera(cond["poses"]))
+            cam16 = mvdream_camera(cond["poses"])
             pos = jnp.broadcast_to(self.emb["pos"][None], (b,) + self.emb["pos"].shape)
             neg = jnp.broadcast_to(self.emb["neg"][None], (b,) + self.emb["neg"].shape)
             x_in = jnp.concatenate([latents_noisy] * 2)
             t_in = jnp.concatenate([t_b] * 2)
             ctx = jnp.concatenate([pos, neg])
-            cam_in = jnp.concatenate([camera] * 2)
+            cam_in = jnp.concatenate([cam16] * 2)
             eps = jax.lax.stop_gradient(
                 bk.unet_apply(x_in, t_in, ctx, camera=cam_in)
             )
@@ -382,21 +385,59 @@ class MVDreamGuidance:
 
         return fn
 
+    def refine(self, images, poses, key, strength=0.8, steps=50,
+               guidance_scale=100.0):
+        """4-view joint img2img refinement
+        (/root/reference/guidance/mvdream_utils.py:55-92). Host loop, no
+        grad; images [B=4rb, H, W, 3] in [0,1] -> same shape in [0,1]."""
+        bk = self.backbone
+        sch = bk.scheduler
+        b = images.shape[0]
+        ts = sch.set_timesteps(steps)
+        init_step = int(steps * strength)
+        imgs = _resize(jnp.asarray(images), self.image_size) * 2.0 - 1.0
+        latents = bk.vae_encode(imgs)
+        k_n, key = jax.random.split(key)
+        t0 = jnp.full((b,), int(ts[init_step]), jnp.int32)
+        latents = sch.add_noise(
+            latents, jax.random.normal(k_n, latents.shape), t0
+        )
+
+        cam16 = mvdream_camera(jnp.asarray(poses, jnp.float32))
+        cam_in = jnp.concatenate([cam16] * 2)
+        pos = jnp.broadcast_to(self.emb["pos"][None], (b,) + self.emb["pos"].shape)
+        neg = jnp.broadcast_to(self.emb["neg"][None], (b,) + self.emb["neg"].shape)
+        # Reference order: [neg, pos] with uncond chunked first.
+        ctx = jnp.concatenate([neg, pos])
+        for t in ts[init_step:]:
+            t_b = jnp.full((b,), int(t), jnp.int32)
+            x_in = jnp.concatenate([latents] * 2)
+            eps = bk.unet_apply(
+                x_in, jnp.concatenate([t_b] * 2), ctx, camera=cam_in
+            )
+            eps_uncond, eps_cond = jnp.split(eps, 2)
+            eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+            latents = sch.step(eps_hat, int(t), latents)
+        return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
 
 class ImageDreamGuidance:
     """Image+text 4(+1)-view joint SDS
     (/root/reference/guidance/imagedream_utils.py:129-214).
 
     A 5th "extra view" slot carries the identity-image conditioning: its
-    noisy latent is zero-padded, the CLIP image tokens (``ip``) and the
-    identity VAE latent (``ip_img``) ride in the conditioning, and the
-    extra view is stripped from the prediction before the SDS gradient.
-    CFG 5; no w(t) weighting; t shared across the 4 real views.
+    noisy latent is zero-padded (the UNet itself writes ``ip_img`` into
+    that slot), the CLIP image tokens (``ip``) ride in the conditioning
+    through the UNet's resampler + ip cross-attention, and the extra view
+    is stripped from the prediction before the SDS gradient.
+    CFG 5; no w(t) weighting; t shared across the 4 real views and
+    REPEATED into the extra view (imagedream_utils.py:184-185).
 
     ``embeddings``: 'pos'/'neg' text embeds [L, D].
     ``image_embeddings``: 'pos' CLIP image tokens [Li, Di]; 'ip_img'
     latent [h, w, 4] (negatives are zeros, as the reference).
-    ``camera_embed``: (cam16 [B,16]) -> [B, temb_dim].
+    The RAW 16-dim camera feeds the UNet's internal camera embedding
+    (zero camera for the extra view, imagedream_utils.py:162-165).
     """
 
     def __init__(
@@ -404,7 +445,6 @@ class ImageDreamGuidance:
         backbone: Backbone,
         embeddings: dict,
         image_embeddings: dict,
-        camera_embed: Callable,
         guidance_scale: float = 5.0,
         t_range=(0.02, 0.98),
         image_size: int = 256,
@@ -419,16 +459,16 @@ class ImageDreamGuidance:
         self.image_size = image_size
         self.anneal = anneal
         self.num_views = num_views
-        self.camera_embed = camera_embed
         self.emb = {k: jnp.asarray(v) for k, v in embeddings.items()}
         self.img_emb = {k: jnp.asarray(v) for k, v in image_embeddings.items()}
 
-    def _pad_views(self, x, pad_value=0.0):
-        """[rB*V, ...] -> [rB*(V+1), ...] with a zero extra view per group."""
+    def _pad_views(self, x, mode: str = "zero"):
+        """[rB*V, ...] -> [rB*(V+1), ...] with an extra view per group:
+        zeros (latents, cameras) or a repeat of the first view (t)."""
         v = self.num_views
         rb = x.shape[0] // v
         x = x.reshape((rb, v) + x.shape[1:])
-        pad = jnp.full_like(x[:, :1], pad_value)
+        pad = x[:, :1] if mode == "repeat" else jnp.zeros_like(x[:, :1])
         return jnp.concatenate([x, pad], axis=1).reshape(
             (rb * (v + 1),) + x.shape[2:]
         )
@@ -460,12 +500,11 @@ class ImageDreamGuidance:
                 jax.lax.stop_gradient(latents), noise, t_b
             )
 
-            # Pad the extra (identity) view: zero latent, repeated t.
+            # Pad the extra (identity) view: zero latent + zero camera,
+            # REPEATED t (imagedream_utils.py:184-189).
             lat_in = self._pad_views(latents_noisy)
-            t_in5 = self._pad_views(t_b.astype(jnp.float32))
-            cam16 = mvdream_camera(cond["poses"])
-            cam16 = self._pad_views(cam16)
-            camera = self.camera_embed(cam16)
+            t_in5 = self._pad_views(t_b.astype(jnp.float32), mode="repeat")
+            cam16 = self._pad_views(mvdream_camera(cond["poses"]))
 
             text_pos = jnp.broadcast_to(
                 self.emb["pos"][None], (rb * (self.num_views + 1),)
@@ -488,7 +527,7 @@ class ImageDreamGuidance:
             x_in = jnp.concatenate([lat_in] * 2)
             t_in = jnp.concatenate([t_in5] * 2)
             ctx = jnp.concatenate([text_neg, text_pos])
-            cam_in = jnp.concatenate([camera] * 2)
+            cam_in = jnp.concatenate([cam16] * 2)
             ip = jnp.concatenate([ip_neg, ip_pos])
             ip_img = jnp.concatenate([ip_img_neg, ip_img_pos])
 
@@ -508,3 +547,56 @@ class ImageDreamGuidance:
             return sds_grad_loss(latents, grad, divide_by_batch=True)
 
         return fn
+
+    def refine(self, images, poses, key, strength=0.8, steps=50,
+               guidance_scale=5.0):
+        """4(+1)-view img2img refinement
+        (/root/reference/guidance/imagedream_utils.py:67-127). The latents
+        stay 4-view; every denoise step pads the extra view in (zeros —
+        the UNet substitutes ip_img), strips it from the prediction."""
+        bk = self.backbone
+        sch = bk.scheduler
+        b = images.shape[0]
+        rb = b // self.num_views
+        ts = sch.set_timesteps(steps)
+        init_step = int(steps * strength)
+        imgs = _resize(jnp.asarray(images), self.image_size) * 2.0 - 1.0
+        latents = bk.vae_encode(imgs)
+        k_n, key = jax.random.split(key)
+        t0 = jnp.full((b,), int(ts[init_step]), jnp.int32)
+        latents = sch.add_noise(
+            latents, jax.random.normal(k_n, latents.shape), t0
+        )
+
+        n5 = rb * (self.num_views + 1)
+        cam16 = self._pad_views(mvdream_camera(jnp.asarray(poses, jnp.float32)))
+        cam_in = jnp.concatenate([cam16] * 2)
+        text_pos = jnp.broadcast_to(
+            self.emb["pos"][None], (n5,) + self.emb["pos"].shape
+        )
+        text_neg = jnp.broadcast_to(self.emb["neg"][None], text_pos.shape)
+        ctx = jnp.concatenate([text_neg, text_pos])
+        ip_pos = jnp.broadcast_to(
+            self.img_emb["pos"][None], (n5,) + self.img_emb["pos"].shape
+        )
+        ip = jnp.concatenate([jnp.zeros_like(ip_pos), ip_pos])
+        ip_img_pos = jnp.broadcast_to(
+            self.img_emb["ip_img"][None], (rb,) + self.img_emb["ip_img"].shape
+        )
+        ip_img = jnp.concatenate([jnp.zeros_like(ip_img_pos), ip_img_pos])
+
+        for t in ts[init_step:]:
+            t5 = self._pad_views(
+                jnp.full((b,), int(t), jnp.float32), mode="repeat"
+            )
+            x_in = jnp.concatenate([self._pad_views(latents)] * 2)
+            eps5 = bk.unet_apply(
+                x_in, jnp.concatenate([t5] * 2), ctx, camera=cam_in,
+                ip=ip, ip_img=ip_img,
+            )
+            eps_uncond5, eps_cond5 = jnp.split(eps5, 2)
+            eps_uncond = self._strip_views(eps_uncond5)
+            eps_cond = self._strip_views(eps_cond5)
+            eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+            latents = sch.step(eps_hat, int(t), latents)
+        return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)

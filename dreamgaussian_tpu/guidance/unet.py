@@ -54,6 +54,18 @@ class UNetConfig:
     num_views: int = 1            # >1 => joint self-attention across views
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # ImageDream ip-adapter pathway (/root/reference/guidance/
+    # imagedream_utils.py:172-177 passes ip/ip_img into the UNet):
+    # ip_dim > 0 enables (a) a Resampler that maps CLIP image tokens to
+    # ``ip_dim`` context tokens, appended to the text context, and (b)
+    # dedicated to_k_ip/to_v_ip projections in every cross-attention that
+    # attend to those tokens with weight ``ip_weight``.
+    ip_dim: int = 0
+    ip_weight: float = 1.0
+    ip_embed_dim: int = 1280       # CLIP ViT-H vision token dim
+    ip_resampler_dim: int = 1280
+    ip_resampler_depth: int = 4
+    ip_resampler_heads: int = 20   # dim_head 64
     dtype: jnp.dtype = jnp.float32
 
     def heads_for(self, channels: int) -> int:
@@ -71,7 +83,9 @@ ZERO123_CONFIG = UNetConfig(
     use_linear_projection=False,
 )
 MVDREAM_CONFIG = UNetConfig(num_views=4)
-IMAGEDREAM_CONFIG = UNetConfig(num_views=5)
+# sd-v2.1-base-4view-ipmv: 4 real + 1 identity view, 16 resampled image
+# tokens via ip cross-attention.
+IMAGEDREAM_CONFIG = UNetConfig(num_views=5, ip_dim=16)
 
 
 def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True,
@@ -161,14 +175,29 @@ def _attention(q, k, v, heads: int, dtype):
 
 
 class CrossAttention(nn.Module):
+    """Multi-head (cross-)attention.
+
+    With ``ip_dim > 0`` and a context given, the LAST ``ip_dim`` context
+    tokens are image-conditioning tokens: they get their own key/value
+    projections (to_k_ip / to_v_ip, the IP-adapter scheme ImageDream's
+    UNet uses) and their attention output is added with weight
+    ``ip_weight`` (/root/reference/guidance/imagedream_utils.py passes
+    ``ip`` into the ipmv model whose attention splits exactly so).
+    """
+
     query_dim: int
     heads: int
     context_dim: int | None = None  # None => self-attention
+    ip_dim: int = 0
+    ip_weight: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
         ctx = x if context is None else context
+        ip = None
+        if self.ip_dim > 0 and context is not None:
+            ctx, ip = ctx[:, : -self.ip_dim], ctx[:, -self.ip_dim:]
         q = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype,
                      name="to_q")(x)
         k = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype,
@@ -176,7 +205,84 @@ class CrossAttention(nn.Module):
         v = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype,
                      name="to_v")(ctx)
         out = _attention(q, k, v, self.heads, self.dtype)
+        if ip is not None:
+            k_ip = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip)
+            v_ip = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip)
+            out = out + self.ip_weight * _attention(
+                q, k_ip, v_ip, self.heads, self.dtype
+            )
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class PerceiverAttention(nn.Module):
+    """Resampler block attention: learned latents attend to image tokens
+    (keys/values over [tokens ++ latents], the IP-adapter layout)."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, latents):
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        latents = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(latents)
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="to_q")(latents)
+        kv_in = jnp.concatenate([x, latents], axis=-2)
+        kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype,
+                      name="to_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = _attention(q, k, v, self.heads, self.dtype)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="to_out")(out)
+
+
+class Resampler(nn.Module):
+    """Perceiver resampler: [B, L, embed_dim] CLIP image tokens ->
+    [B, num_queries, output_dim] context tokens (ImageDream's
+    ``image_embed`` module; same architecture as the IP-adapter
+    Resampler)."""
+
+    dim: int
+    depth: int
+    heads: int
+    num_queries: int
+    output_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02),
+            (self.num_queries, self.dim),
+        ).astype(self.dtype)
+        latents = jnp.broadcast_to(
+            latents[None], (b, self.num_queries, self.dim)
+        )
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(
+            x.astype(self.dtype)
+        )
+        for i in range(self.depth):
+            latents = latents + PerceiverAttention(
+                self.dim, self.heads, self.dtype, name=f"layers_{i}_attn"
+            )(x, latents)
+            # FeedForward: LayerNorm -> Linear(4x, no bias) -> GELU ->
+            # Linear (no bias), residual.
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_ff_norm")(
+                latents
+            )
+            h = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_ff_in")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_ff_out")(h)
+            latents = latents + h
+        out = nn.Dense(self.output_dim, dtype=self.dtype,
+                       name="proj_out")(latents)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(out)
 
 
 class FeedForward(nn.Module):
@@ -197,28 +303,33 @@ class TransformerBlock(nn.Module):
     heads: int
     context_dim: int
     num_views: int = 1
+    ip_dim: int = 0
+    ip_weight: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         # Self-attention; for num_views>1 the V views of each batch item
         # attend jointly (MVDream "3D attention": [B*V, N, C]->[B, V*N, C]).
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.num_views > 1:
             bv, n, c = h.shape
             v = self.num_views
             h = h.reshape(bv // v, v * n, c)
-            h = CrossAttention(self.dim, self.heads, None, self.dtype,
+            h = CrossAttention(self.dim, self.heads, None, dtype=self.dtype,
                                name="attn1")(h)
             h = h.reshape(bv, n, c)
         else:
-            h = CrossAttention(self.dim, self.heads, None, self.dtype,
+            h = CrossAttention(self.dim, self.heads, None, dtype=self.dtype,
                                name="attn1")(h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + CrossAttention(self.dim, self.heads, self.context_dim,
-                               self.dtype, name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.context_dim,
+            ip_dim=self.ip_dim, ip_weight=self.ip_weight, dtype=self.dtype,
+            name="attn2",
+        )(h, context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForward(self.dim, self.dtype, name="ff")(h)
 
 
@@ -229,6 +340,8 @@ class Transformer2D(nn.Module):
     depth: int = 1
     use_linear_projection: bool = True
     num_views: int = 1
+    ip_dim: int = 0
+    ip_weight: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -246,7 +359,8 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             h = TransformerBlock(
                 self.channels, self.heads, self.context_dim,
-                num_views=self.num_views, dtype=self.dtype,
+                num_views=self.num_views, ip_dim=self.ip_dim,
+                ip_weight=self.ip_weight, dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, context)
         if self.use_linear_projection:
@@ -284,14 +398,26 @@ class Upsample(nn.Module):
 class UNet(nn.Module):
     """Denoising UNet. Inputs NHWC latents, [B] timesteps, [B,L,D] context.
 
-    ``camera_emb`` (optional [B, camera_dim]): MVDream/ImageDream-style
-    camera conditioning, embedded by a second MLP and ADDED to the time
-    embedding (the mvdream UNet's ``camera_embed`` pathway)."""
+    ``camera`` (optional [B, 16]): MVDream/ImageDream RAW normalized
+    flattened c2w; embedded INTERNALLY by the ``camera_embedding`` MLP and
+    ADDED to the time embedding (the mvdream UNet's ``camera_embed``
+    pathway) — callers never pre-embed it.
+
+    ``ip`` (optional [B, L_ip, ip_embed_dim]): CLIP image tokens,
+    resampled to ``ip_dim`` context tokens and appended to ``context``
+    for the to_k_ip/to_v_ip cross-attention pathway (requires
+    config.ip_dim > 0).
+
+    ``ip_img`` (optional [B // num_views, h, w, 4]): identity-image VAE
+    latent written into the LAST view slot of every ``num_views`` group
+    (ImageDream's extra view; the caller pads that slot with zeros,
+    /root/reference/guidance/imagedream_utils.py:186-189)."""
 
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, sample, timesteps, context, camera_emb=None):
+    def __call__(self, sample, timesteps, context, camera=None,
+                 ip=None, ip_img=None):
         cfg = self.config
         dt = cfg.dtype
         ch0 = cfg.block_out_channels[0]
@@ -301,13 +427,34 @@ class UNet(nn.Module):
             timesteps, ch0, cfg.flip_sin_to_cos, cfg.freq_shift
         ).astype(dt)
         temb = TimeEmbedding(temb_dim, dt, name="time_embedding")(temb)
-        if camera_emb is not None:
+        if camera is not None:
             temb = temb + TimeEmbedding(
                 temb_dim, dt, name="camera_embedding"
-            )(camera_emb.astype(dt))
+            )(camera.astype(dt))
 
         sample = sample.astype(dt)
         context = context.astype(dt)
+
+        if ip_img is not None:
+            v = cfg.num_views
+            b = sample.shape[0]
+            grouped = sample.reshape((b // v, v) + sample.shape[1:])
+            grouped = grouped.at[:, -1].set(ip_img.astype(dt))
+            sample = grouped.reshape(sample.shape)
+        if ip is not None:
+            assert cfg.ip_dim > 0, "ip tokens given but config.ip_dim == 0"
+            ip_tokens = Resampler(
+                dim=cfg.ip_resampler_dim,
+                depth=cfg.ip_resampler_depth,
+                heads=cfg.ip_resampler_heads,
+                num_queries=cfg.ip_dim,
+                output_dim=cfg.cross_attention_dim,
+                dtype=dt,
+                name="image_embed",
+            )(ip)
+            context = jnp.concatenate([context, ip_tokens], axis=1)
+        ip_dim = cfg.ip_dim if ip is not None else 0
+
         h = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(sample)
         skips = [h]
 
@@ -321,7 +468,8 @@ class UNet(nn.Module):
                     h = Transformer2D(
                         ch, cfg.heads_for(ch), cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
-                        num_views=cfg.num_views, dtype=dt,
+                        num_views=cfg.num_views, ip_dim=ip_dim,
+                        ip_weight=cfg.ip_weight, dtype=dt,
                         name=f"down_{i}_attn_{j}",
                     )(h, context)
                 skips.append(h)
@@ -335,7 +483,8 @@ class UNet(nn.Module):
         h = Transformer2D(
             ch, cfg.heads_for(ch), cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
-            num_views=cfg.num_views, dtype=dt, name="mid_attn",
+            num_views=cfg.num_views, ip_dim=ip_dim,
+            ip_weight=cfg.ip_weight, dtype=dt, name="mid_attn",
         )(h, context)
         h = ResnetBlock(ch, dt, name="mid_res_1")(h, temb)
 
@@ -351,7 +500,8 @@ class UNet(nn.Module):
                     h = Transformer2D(
                         ch, cfg.heads_for(ch), cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
-                        num_views=cfg.num_views, dtype=dt,
+                        num_views=cfg.num_views, ip_dim=ip_dim,
+                        ip_weight=cfg.ip_weight, dtype=dt,
                         name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i < len(cfg.up_block_types) - 1:

@@ -35,11 +35,11 @@ class VAEResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(name="norm1", dtype=self.dtype)(x)
+        h = GroupNorm32(name="norm1", epsilon=1e-6, dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = GroupNorm32(name="norm2", dtype=self.dtype)(h)
+        h = GroupNorm32(name="norm2", epsilon=1e-6, dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -57,7 +57,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        y = GroupNorm32(name="group_norm", dtype=self.dtype)(x)
+        y = GroupNorm32(name="group_norm", epsilon=1e-6, dtype=self.dtype)(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -88,7 +88,7 @@ class Encoder(nn.Module):
         h = VAEResnet(ch, dt, name="mid_res_0")(h)
         h = VAEAttention(ch, dt, name="mid_attn")(h)
         h = VAEResnet(ch, dt, name="mid_res_1")(h)
-        h = GroupNorm32(name="conv_norm_out", dtype=dt)(h)
+        h = GroupNorm32(name="conv_norm_out", epsilon=1e-6, dtype=dt)(h)
         h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=dt,
                     name="conv_out")(h)
@@ -121,7 +121,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{i}_upsample")(h)
-        h = GroupNorm32(name="conv_norm_out", dtype=dt)(h)
+        h = GroupNorm32(name="conv_norm_out", epsilon=1e-6, dtype=dt)(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=dt,
                     name="conv_out")(h)

@@ -277,6 +277,8 @@ class TestImageDreamGuidance:
 
         def unet_apply(x, t, ctx, camera=None, ip=None, ip_img=None):
             seen_batches["b"] = x.shape[0]
+            seen_batches["camera"] = camera
+            seen_batches["t"] = t
             assert camera is not None and ip is not None and ip_img is not None
             return bk.unet_apply(x, t, ctx[..., :32])
 
@@ -289,7 +291,6 @@ class TestImageDreamGuidance:
                 "pos": rng.normal(size=(5, 16)).astype(np.float32),
                 "ip_img": rng.normal(size=(8, 8, 4)).astype(np.float32),
             },
-            camera_embed=lambda c: jnp.zeros((c.shape[0], 8)),
             image_size=64,
         )
         from dreamgaussian_tpu.utils.camera import orbit_camera
@@ -305,3 +306,12 @@ class TestImageDreamGuidance:
         assert float(jnp.max(jnp.abs(grads))) > 0
         # UNet saw 2 * (4+1) views (CFG doubling + extra view)
         assert seen_batches["b"] == 10
+        # RAW 16-dim camera, zero-padded extra view
+        # (imagedream_utils.py:162-165)...
+        cam = np.asarray(seen_batches["camera"]).reshape(2, 5, 16)
+        assert np.abs(cam[:, 4]).max() == 0.0
+        assert np.abs(cam[:, :4]).max() > 0.0
+        # ...and t REPEATED into the extra view (:184-185), not zeroed.
+        t5 = np.asarray(seen_batches["t"]).reshape(2, 5)
+        np.testing.assert_array_equal(t5[:, 4], t5[:, 0])
+        assert t5.min() > 0

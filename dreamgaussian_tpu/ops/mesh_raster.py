@@ -37,6 +37,12 @@ class RastOut(NamedTuple):
     bary: jnp.ndarray     # [H, W, 3] perspective-correct, differentiable
     zbuf: jnp.ndarray     # [H, W] NDC depth (0 where miss)
     mask: jnp.ndarray     # [H, W] bool coverage
+    # Screen-space derivatives of the barycentrics (the same winning
+    # triangle re-evaluated at the +1px pixel centers — nvdiffrast's
+    # rast_db analogue without cross-triangle leakage). Used for mip
+    # level selection; non-None only when rasterize(..., derivs=True).
+    bary_dx: jnp.ndarray | None = None  # [H, W, 3]
+    bary_dy: jnp.ndarray | None = None  # [H, W, 3]
 
 
 def _screen_coords(v_clip: jnp.ndarray, width: int, height: int):
@@ -57,10 +63,12 @@ def rasterize(
     tile: int = 32,
     max_tiles: int = 16,
     chunk: int = 128,
+    derivs: bool = False,
 ) -> RastOut:
     """Rasterize clip-space triangles; differentiable barycentrics.
 
-    v_clip: [V, 4]; faces: [F, 3] int32.
+    v_clip: [V, 4]; faces: [F, 3] int32. ``derivs``: also produce
+    screen-space barycentric derivatives for mip selection.
     """
     assert width % tile == 0 and height % tile == 0
     nf = faces.shape[0]
@@ -132,21 +140,31 @@ def rasterize(
     x0, y0 = p[..., 0, 0], p[..., 0, 1]
     x1, y1 = p[..., 1, 0], p[..., 1, 1]
     x2, y2 = p[..., 2, 0], p[..., 2, 1]
+
+    def bary_at(pxx, pyy):
+        e0 = (x2 - x1) * (pyy - y1) - (y2 - y1) * (pxx - x1)
+        e1 = (x0 - x2) * (pyy - y2) - (y0 - y2) * (pxx - x2)
+        e2 = (x1 - x0) * (pyy - y0) - (y1 - y0) * (pxx - x0)
+        area = e0 + e1 + e2
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+        b = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
+        # Perspective correction: weight by 1/w.
+        pc = b / jnp.maximum(pw, 1e-12)
+        pc = pc / jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True), 1e-12)
+        return jnp.where(mask[..., None], pc, 0.0)
+
     pxx = px[..., 0]
     pyy = py[..., 0]
-    e0 = (x2 - x1) * (pyy - y1) - (y2 - y1) * (pxx - x1)
-    e1 = (x0 - x2) * (pyy - y2) - (y0 - y2) * (pxx - x2)
-    e2 = (x1 - x0) * (pyy - y0) - (y1 - y0) * (pxx - x0)
-    area = e0 + e1 + e2
-    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
-    b = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]  # screen bary
-
-    # Perspective correction: weight by 1/w.
-    pc = b / jnp.maximum(pw, 1e-12)
-    pc = pc / jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True), 1e-12)
-    bary = jnp.where(mask[..., None], pc, 0.0)
+    bary = bary_at(pxx, pyy)
+    bary_dx = bary_dy = None
+    if derivs:
+        # Same triangle, neighboring pixel centers: exact finite
+        # difference of the (piecewise-linear in screen space, rational
+        # after perspective) barycentric field — no neighbor-pixel reads.
+        bary_dx = jax.lax.stop_gradient(bary_at(pxx + 1.0, pyy) - bary)
+        bary_dy = jax.lax.stop_gradient(bary_at(pxx, pyy + 1.0) - bary)
     return RastOut(tri_id=tri_id, bary=bary, zbuf=jnp.where(mask, zbuf, 0.0),
-                   mask=mask)
+                   mask=mask, bary_dx=bary_dx, bary_dy=bary_dy)
 
 
 def interpolate(
@@ -162,6 +180,66 @@ def interpolate(
     a = attrs[tri]                         # [H, W, 3, A]
     out = jnp.sum(a * rast.bary[..., None], axis=-2)
     return jnp.where(rast.mask[..., None], out, 0.0)
+
+
+def interpolate_with_derivs(
+    attrs: jnp.ndarray, faces: jnp.ndarray, rast: RastOut
+):
+    """interpolate() plus screen-space attribute derivatives
+    (nvdiffrast's ``diff_attrs='all'`` analogue,
+    /root/reference/mesh_renderer.py:109). Requires rasterize(...,
+    derivs=True). Returns (attr [H,W,A], d/dx, d/dy)."""
+    assert rast.bary_dx is not None, "rasterize(..., derivs=True) required"
+    nf = faces.shape[0]
+    fidx = jnp.clip(rast.tri_id - 1, 0, nf - 1)
+    tri = faces[fidx]
+    a = attrs[tri]                         # [H, W, 3, A]
+    out = jnp.sum(a * rast.bary[..., None], axis=-2)
+    ddx = jnp.sum(a * rast.bary_dx[..., None], axis=-2)
+    ddy = jnp.sum(a * rast.bary_dy[..., None], axis=-2)
+    m = rast.mask[..., None]
+    return (jnp.where(m, out, 0.0), jnp.where(m, ddx, 0.0),
+            jnp.where(m, ddy, 0.0))
+
+
+def build_mip_chain(tex: jnp.ndarray, min_size: int = 4) -> list:
+    """2x2 average-pooled mip pyramid [full, half, ...] down to
+    ``min_size``. Differentiable (gradients average-splat back up, the
+    nvdiffrast mipmap gradient model)."""
+    chain = [tex]
+    while min(chain[-1].shape[0], chain[-1].shape[1]) > min_size:
+        t = chain[-1]
+        h2, w2 = t.shape[0] // 2, t.shape[1] // 2
+        chain.append(
+            t[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, -1).mean((1, 3))
+        )
+    return chain
+
+
+def sample_texture_mip(
+    chain: list, uv: jnp.ndarray, uv_dx: jnp.ndarray, uv_dy: jnp.ndarray
+) -> jnp.ndarray:
+    """Trilinear (linear-mipmap-linear) texture lookup — the reference's
+    nvdiffrast filter mode (/root/reference/mesh_renderer.py:110).
+
+    chain: build_mip_chain output; uv [H,W,2] in [0,1]; uv_dx/uv_dy its
+    screen-space derivatives. Per-pixel LOD = log2(max footprint in
+    texels); the tent weight max(0, 1-|lod-l|) over levels IS the linear
+    blend between the two adjacent mips.
+    """
+    th, tw = chain[0].shape[0], chain[0].shape[1]
+    sizes = jnp.asarray([tw, th], jnp.float32)
+    rho = jnp.maximum(
+        jnp.linalg.norm(uv_dx * sizes, axis=-1),
+        jnp.linalg.norm(uv_dy * sizes, axis=-1),
+    )
+    n_levels = len(chain)
+    lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, n_levels - 1.0)
+    out = 0.0
+    for lvl, tex in enumerate(chain):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(lod - lvl))[..., None]
+        out = out + w * sample_texture(tex, uv)
+    return out
 
 
 def sample_texture(

@@ -10,6 +10,9 @@ geometry trains).
 TPU-first differences:
 - camera matrices come from the same ``Camera`` as the gaussian renderer
   (one convention stack instead of the reference's two);
+- texture sampling defaults to linear-mipmap-linear like the reference's
+  nvdiffrast call (filter_mode, /root/reference/mesh_renderer.py:110),
+  with the LOD from analytic per-triangle UV screen derivatives;
 - no analytic edge antialiasing: SSAA only. The reference's own training
   loop already jitters SSAA every step (/root/reference/main2.py:182,213),
   which is the signal that actually shapes gradients at silhouettes;
@@ -105,32 +108,52 @@ def render_mesh(
     train_geo: bool = False,
     tile: int = 32,
     max_tiles: int = 16,
+    texture_filter: str = "linear-mipmap-linear",
 ):
     """Render the mesh through one camera.
 
     cam_arrays: Camera.arrays() dict (view / full_proj). pose_rot: [3,3]
     c2w rotation (for viewcos). Returns dict(image, alpha, depth, normal,
     viewcos) at (h0, w0); differentiable w.r.t. raw_albedo (and v_offsets
-    when train_geo).
+    when train_geo). ``texture_filter``: 'linear-mipmap-linear'
+    (reference nvdiffrast mode, /root/reference/mesh_renderer.py:110 —
+    LOD from analytic UV screen derivatives) or 'bilinear'.
     """
     if ssaa != 1:
         h = make_divisible(h0 * ssaa, tile)
         w = make_divisible(w0 * ssaa, tile)
     else:
         h, w = h0, w0
+    mip = texture_filter == "linear-mipmap-linear"
 
     v = state.v + state.v_offsets if train_geo else state.v
     v_h = jnp.concatenate([v, jnp.ones((v.shape[0], 1))], axis=1)
     v_clip = v_h @ cam_arrays["full_proj"].T
     v_cam_z = (v_h @ cam_arrays["view"].T)[:, 2:3]  # rectified +z forward
 
-    rast = rasterize(v_clip, state.f, w, h, tile=tile, max_tiles=max_tiles)
+    rast = rasterize(v_clip, state.f, w, h, tile=tile, max_tiles=max_tiles,
+                     derivs=mip)
     alpha = rast.mask.astype(jnp.float32)[..., None]
     depth = interpolate(v_cam_z, state.f, rast)
 
-    texc = interpolate(state.vt, state.ft, rast)
     # texture-filter the LOGITS, sigmoid after (mesh_renderer.py:110-112).
-    albedo = jax.nn.sigmoid(sample_texture(state.raw_albedo, texc))
+    if mip:
+        from ..ops.mesh_raster import (
+            build_mip_chain,
+            interpolate_with_derivs,
+            sample_texture_mip,
+        )
+
+        texc, texc_dx, texc_dy = interpolate_with_derivs(
+            state.vt, state.ft, rast
+        )
+        chain = build_mip_chain(state.raw_albedo)
+        albedo = jax.nn.sigmoid(
+            sample_texture_mip(chain, texc, texc_dx, texc_dy)
+        )
+    else:
+        texc = interpolate(state.vt, state.ft, rast)
+        albedo = jax.nn.sigmoid(sample_texture(state.raw_albedo, texc))
 
     vn = _recompute_normals(v, state.f) if train_geo else state.vn
     normal = _safe_normalize(interpolate(vn, state.f, rast))

@@ -7,7 +7,10 @@ This CLI reports:
 
 - PSNR / MAE of the front view against the reference image (always);
 - CLIP similarity (mean cosine over 8 orbit views vs the input) when a
-  CLIP checkpoint directory is given (no weights ship in this image).
+  CLIP checkpoint directory is given (no weights ship in this image);
+- LPIPS of the front view vs the input when --vgg_ckpt points at a
+  torchvision vgg16 state dict (utils/lpips.py; --lpips_ckpt adds the
+  lpips linear calibration) — the BASELINE quality-gate metric.
 
 Usage:
   python -m dreamgaussian_tpu.cli.eval data/name_rgba.png logs/name.obj \\
@@ -57,6 +60,10 @@ def main(argv=None) -> None:
     ap.add_argument("input", help="reference RGBA image")
     ap.add_argument("result", help=".ply gaussians or .obj/.glb mesh")
     ap.add_argument("--clip_ckpt", default=None)
+    ap.add_argument("--vgg_ckpt", default=None,
+                    help="torchvision vgg16 .pth for LPIPS")
+    ap.add_argument("--lpips_ckpt", default=None,
+                    help="lpips vgg.pth linear weights")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--elevation", type=float, default=0.0)
     ap.add_argument("--radius", type=float, default=2.0)
@@ -82,6 +89,12 @@ def main(argv=None) -> None:
     if args.clip_ckpt:
         sim = clip_similarity(args.clip_ckpt, ref, views)
         print(f"clip_sim: {sim:.4f}")
+    if args.vgg_ckpt:
+        from ..utils.lpips import LPIPS
+
+        metric = LPIPS(args.vgg_ckpt, args.lpips_ckpt)
+        d = float(metric(ref[None], front[None])[0])
+        print(f"front_lpips: {d:.4f}")
 
 
 if __name__ == "__main__":

@@ -1,17 +1,21 @@
 """Input preprocessing: background removal + recenter (process.py analogue).
 
 The reference uses rembg's U2Net for salient-object matting
-(/root/reference/process.py:44-65). Without network access to those
-weights this module supports:
+(/root/reference/process.py:44-65). This module supports:
 
 - RGBA inputs (already matted — the reference's own data/ fixtures are
   RGBA): alpha channel used directly;
-- RGB inputs: a GrabCut-based fallback matte (cv2 ships in-image), seeded
-  by border statistics — not U2Net quality but dependency-free;
+- RGB inputs with a local U2Net checkpoint (``--u2net`` / env
+  ``DG_U2NET_CKPT`` pointing at the official ``u2net.pth`` or
+  ``u2netp.pth``): rembg-quality matting via
+  dreamgaussian_tpu.preprocess.u2net (torch CPU);
+- RGB inputs without weights: a GrabCut-based fallback matte (cv2 ships
+  in-image), seeded by border statistics;
 - the same bbox recenter into a square canvas with border_ratio
   (/root/reference/process.py:68-86).
 
 Usage: python -m dreamgaussian_tpu.cli.process input.png [--size 256]
+       [--u2net /path/u2net.pth]
 """
 
 from __future__ import annotations
@@ -23,8 +27,16 @@ import cv2
 import numpy as np
 
 
-def remove_background(img: np.ndarray) -> np.ndarray:
-    """RGB [H,W,3] uint8 -> RGBA with a GrabCut alpha estimate."""
+def remove_background(img: np.ndarray,
+                      u2net_ckpt: str | None = None) -> np.ndarray:
+    """RGB [H,W,3] uint8 -> RGBA. U2Net matte when a checkpoint is given
+    (or DG_U2NET_CKPT is set), GrabCut estimate otherwise."""
+    u2net_ckpt = u2net_ckpt or os.environ.get("DG_U2NET_CKPT")
+    if u2net_ckpt and os.path.exists(u2net_ckpt):
+        from ..preprocess.u2net import u2net_alpha
+
+        alpha = (u2net_alpha(img, u2net_ckpt) * 255).astype(np.uint8)
+        return np.dstack([img, alpha])
     h, w = img.shape[:2]
     mask = np.zeros((h, w), np.uint8)
     # Assume the object is roughly centered; border is background.
@@ -61,7 +73,8 @@ def recenter(rgba: np.ndarray, size: int, border_ratio: float = 0.2) -> np.ndarr
 
 
 def load_rgba(path: str, size: int | None = None,
-              border_ratio: float = 0.2) -> np.ndarray:
+              border_ratio: float = 0.2,
+              u2net_ckpt: str | None = None) -> np.ndarray:
     """Load an image as float RGBA in [0, 1], matting + recentring if
     needed. RGBA inputs keep their alpha."""
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -73,7 +86,7 @@ def load_rgba(path: str, size: int | None = None,
         rgba = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
     else:
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        rgba = remove_background(rgb)
+        rgba = remove_background(rgb, u2net_ckpt)
         rgba = recenter(rgba, size or max(rgba.shape[:2]), border_ratio)
     if size is not None and rgba.shape[0] != size:
         rgba = cv2.resize(rgba, (size, size), interpolation=cv2.INTER_AREA)
@@ -103,12 +116,15 @@ def main() -> None:
     ap.add_argument("path")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--border_ratio", type=float, default=0.2)
+    ap.add_argument("--u2net", default=None,
+                    help="local u2net(.p).pth for rembg-quality matting")
     ap.add_argument("--caption", action="store_true")
     ap.add_argument("--blip_ckpt", default=None,
                     help="local BLIP2 checkpoint dir for --caption")
     args = ap.parse_args()
 
-    rgba = load_rgba(args.path, size=args.size, border_ratio=args.border_ratio)
+    rgba = load_rgba(args.path, size=args.size,
+                     border_ratio=args.border_ratio, u2net_ckpt=args.u2net)
     out_path = os.path.splitext(args.path)[0] + "_rgba.png"
     cv2.imwrite(
         out_path,

@@ -558,8 +558,17 @@ class Stage1Trainer:
 
     def train(self, iters: int | None = None, log_every: int = 100,
               checkpoint_every: int = 0, checkpoint_dir: str | None = None,
-              scan_chunk: int = 50) -> dict:
+              scan_chunk: int = 50, profile_dir: str | None = None) -> dict:
+        """Run the training loop.
+
+        ``profile_dir`` (or opt key ``profile_dir``): capture ONE
+        steady-state segment as a jax.profiler trace (op-level timing of
+        bin/sort/composite/guidance inside the fused step — SURVEY §5
+        tracing row). View with xprof/tensorboard or perfetto.
+        """
         iters = iters if iters is not None else self.opt.get("iters", 500)
+        profile_dir = profile_dir or self.opt.get("profile_dir", None)
+        profiled = False
         t0 = time.perf_counter()
         loss = float("nan")
         total = self.step + iters
@@ -576,13 +585,30 @@ class Stage1Trainer:
                              and (self.step + k) % checkpoint_every == 0)
                 ):
                     k += 1
+                # Profile the SECOND segment (first pays compiles).
+                do_profile = (
+                    profile_dir is not None and not profiled
+                    and self.step > 0
+                )
+                if do_profile:
+                    jax.profiler.start_trace(profile_dir)
+                t_seg = time.perf_counter()
                 losses = self.train_segment(k, total)
                 loss = losses[-1]
-                self._check_overflow()
+                self._check_overflow()  # also syncs the segment
+                seg_dt = time.perf_counter() - t_seg
+                if do_profile:
+                    jax.profiler.stop_trace()
+                    profiled = True
+                    print(f"[stage1] profiler trace -> {profile_dir}")
                 if log_every:
+                    n_views = self.batch_size * self.n_views
+                    rays = size_now * size_now * n_views * k / seg_dt
                     print(
                         f"[stage1] step {self.step} loss {float(loss):.4f} "
-                        f"alive {int(num_alive(self.aux))}"
+                        f"alive {int(num_alive(self.aux))} "
+                        f"{seg_dt / k * 1e3:.1f} ms/iter "
+                        f"{rays / 1e6:.1f} Mrays/s"
                     )
                 if (checkpoint_every and checkpoint_dir
                         and self.step % checkpoint_every == 0):

@@ -40,8 +40,15 @@ def extract_mesh(
     resolution: int = 128,
     decimate_target: int = 100_000,
     smooth_iters: int = 2,
+    remesh_size: float = 0.015,
 ) -> Mesh:
-    """Gaussians -> world-space cleaned/decimated triangle mesh."""
+    """Gaussians -> world-space cleaned/remeshed/decimated triangle mesh.
+
+    ``remesh_size`` > 0 runs the isotropic remesh toward that target
+    edge length between cleanup and decimation, matching the reference's
+    clean_mesh(remesh=True, remesh_size=0.015) at
+    /root/reference/gs_renderer.py:309; 0 falls back to Laplacian
+    smoothing only."""
     from .. import native
 
     occ, tf = extract_occupancy_field(params, alive, resolution=resolution)
@@ -55,6 +62,8 @@ def extract_mesh(
     v, f = native.clean_mesh(world, faces, weld_eps=1e-6, min_comp_frac=0.1)
     if smooth_iters:
         v = native.laplacian_smooth(v, f, smooth_iters, 0.5)
+    if remesh_size:
+        v, f = native.isotropic_remesh(v, f, remesh_size, n_iter=5)
     if decimate_target and len(f) > decimate_target:
         v, f = native.decimate_mesh(v, f, decimate_target)
     mesh = Mesh(v=v.astype(np.float32), f=f.astype(np.int32))
@@ -168,12 +177,14 @@ def export_textured_mesh(
     bake_resolution: int = 512,
     mc_resolution: int = 128,
     decimate_target: int = 100_000,
+    remesh_size: float = 0.015,
     uv_cache_path: str | None = None,
 ) -> Mesh:
     """Full geo+tex export: mesh extraction + UV + bake + write."""
     mesh = extract_mesh(
         params, alive, density_thresh=density_thresh,
         resolution=mc_resolution, decimate_target=decimate_target,
+        remesh_size=remesh_size,
     )
     mesh.auto_uv(cache_path=uv_cache_path)
     mesh.auto_normal()

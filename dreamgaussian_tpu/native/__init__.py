@@ -51,6 +51,11 @@ def _lib() -> ctypes.CDLL:
                 dp, ctypes.c_int, ip, ctypes.c_int,
                 ctypes.c_int, ctypes.c_double,
             ]
+            lib.isotropic_remesh.argtypes = [
+                dp, ctypes.c_int, ip, ctypes.c_int,
+                ctypes.c_double, ctypes.c_int,
+                dp, ctypes.c_int32, ip, ip, ctypes.c_int32, ip,
+            ]
             _LIB = lib
     return _LIB
 
@@ -106,6 +111,39 @@ def decimate_mesh(
         out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         nv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    assert ret == 0
+    return out_v[: nv[0]].copy(), out_f[: nf[0]].copy()
+
+
+def isotropic_remesh(
+    verts: np.ndarray, faces: np.ndarray, target_len: float,
+    n_iter: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Botsch-Kobbelt isotropic explicit remeshing toward a uniform
+    target edge length (the reference's pymeshlab remesh pass,
+    /root/reference/mesh_utils.py:104-141; targetlen 0.015 at
+    /root/reference/gs_renderer.py:309)."""
+    v, f = _as_c(verts, faces)
+    # Capacity: expected face count at the target length (equilateral
+    # tiling of the surface area) with generous headroom.
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1).sum()
+    est_f = int(area / (np.sqrt(3) / 4.0 * target_len ** 2 + 1e-18))
+    cap_f = max(len(f), est_f) * 3 + 1024
+    cap_v = cap_f // 2 + 1024
+    out_v = np.empty((cap_v, 3), np.float64)
+    out_f = np.empty((cap_f, 3), np.int32)
+    nv = np.zeros(1, np.int32)
+    nf = np.zeros(1, np.int32)
+    ret = _lib().isotropic_remesh(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
+        float(target_len), int(n_iter),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap_v,
+        nv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_f,
         nf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     assert ret == 0

@@ -12,8 +12,11 @@
 //    drop connected components smaller than a fraction of the largest.
 //  - decimate_mesh: Garland-Heckbert quadric edge collapse to a target
 //    face count, with a simple link-condition check to preserve manifolds.
-//  - laplacian_smooth: uniform-weight smoothing (stand-in for the
-//    reference's isotropic remeshing pass; documented deviation).
+//  - laplacian_smooth: uniform-weight smoothing.
+//  - isotropic_remesh: Botsch-Kobbelt split/collapse/flip/tangential-relax
+//    toward a uniform target edge length (the reference's
+//    meshing_isotropic_explicit_remeshing, /root/reference/mesh_utils.py:
+//    104-141 with targetlen 0.015 at gs_renderer.py:309).
 
 #include <cstdint>
 #include <cstring>
@@ -332,6 +335,224 @@ int laplacian_smooth(double* verts, int nv, const int32_t* faces, int nf,
     }
     std::memcpy(verts, nv_pos.data(), sizeof(double) * 3 * nv);
   }
+  return 0;
+}
+
+// Isotropic explicit remeshing (Botsch & Kobbelt 2004): per iteration,
+// (1) split edges > 4/3 L at their midpoint, (2) collapse edges < 4/5 L
+// when manifold-safe and not creating overlong edges, (3) flip edges
+// that reduce the squared deviation of vertex valences from 6, (4) move
+// each vertex toward its neighbor centroid WITHIN its tangent plane.
+// Caller provides output capacities; splitting stops when they would
+// be exceeded (the python wrapper sizes them from the target length).
+int isotropic_remesh(const double* verts, int nv_in, const int32_t* faces,
+                     int nf_in, double target_len, int n_iter,
+                     double* out_verts, int32_t cap_v, int32_t* out_nv,
+                     int32_t* out_faces, int32_t cap_f, int32_t* out_nf) {
+  std::vector<Vec3> V(nv_in);
+  for (int i = 0; i < nv_in; i++)
+    V[i] = {verts[3*i], verts[3*i+1], verts[3*i+2]};
+  std::vector<std::array<int,3>> F(nf_in);
+  for (int i = 0; i < nf_in; i++)
+    F[i] = {faces[3*i], faces[3*i+1], faces[3*i+2]};
+  std::vector<bool> fdead(nf_in, false);
+  const double hi = 4.0 / 3.0 * target_len, hi2 = hi * hi;
+  const double lo = 4.0 / 5.0 * target_len, lo2 = lo * lo;
+
+  auto ekey = [](int a, int b) -> uint64_t {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint32_t)b;
+  };
+
+  for (int iter = 0; iter < n_iter; iter++) {
+    // ---- 1. splits -------------------------------------------------
+    {
+      fdead.resize(F.size(), false);
+      // edge -> adjacent face list (<= 2 for manifold edges)
+      std::unordered_map<uint64_t, std::vector<int>> e2f;
+      for (size_t fi = 0; fi < F.size(); fi++) {
+        if (fdead[fi]) continue;
+        for (int k = 0; k < 3; k++)
+          e2f[ekey(F[fi][k], F[fi][(k+1)%3])].push_back((int)fi);
+      }
+      std::vector<bool> ftouched(F.size(), false);
+      for (auto& kv : e2f) {
+        int a = (int)(kv.first >> 32), b = (int)(uint32_t)kv.first;
+        Vec3 d = V[a] - V[b];
+        if (d.dot(d) <= hi2) continue;
+        bool skip = false;
+        for (int fi : kv.second)
+          if (fdead[fi] || ftouched[fi]) { skip = true; break; }
+        if (skip) continue;
+        if ((int)V.size() + 1 > cap_v ||
+            (int)F.size() + (int)kv.second.size() > cap_f) continue;
+        int m = (int)V.size();
+        V.push_back((V[a] + V[b]) * 0.5);
+        for (int fi : kv.second) {
+          auto f = F[fi];
+          fdead[fi] = true;
+          ftouched[fi] = true;
+          // split f into (x, a, m) + (x, m, b) preserving orientation
+          for (int k = 0; k < 3; k++) {
+            int u = f[k], v = f[(k+1)%3], w = f[(k+2)%3];
+            if ((u == a && v == b) || (u == b && v == a)) {
+              F.push_back({u, m, w});
+              F.push_back({m, v, w});
+              fdead.push_back(false); fdead.push_back(false);
+              ftouched.push_back(true); ftouched.push_back(true);
+              break;
+            }
+          }
+        }
+      }
+    }
+    // ---- 2. collapses ----------------------------------------------
+    {
+      int nv = (int)V.size();
+      std::vector<bool> vdead(nv, false), vtouched(nv, false);
+      std::vector<std::unordered_set<int>> nbrs(nv);
+      std::vector<std::vector<int>> vf(nv);
+      for (size_t fi = 0; fi < F.size(); fi++) {
+        if (fdead[fi]) continue;
+        for (int k = 0; k < 3; k++) {
+          nbrs[F[fi][k]].insert(F[fi][(k+1)%3]);
+          nbrs[F[fi][k]].insert(F[fi][(k+2)%3]);
+          vf[F[fi][k]].push_back((int)fi);
+        }
+      }
+      for (int u = 0; u < nv; u++) {
+        if (vdead[u] || vtouched[u]) continue;
+        for (int v : std::vector<int>(nbrs[u].begin(), nbrs[u].end())) {
+          if (v <= u || vdead[v] || vtouched[v]) continue;
+          Vec3 d = V[u] - V[v];
+          if (d.dot(d) >= lo2) continue;
+          // link condition
+          int shared = 0;
+          for (int w : nbrs[u]) if (nbrs[v].count(w)) shared++;
+          if (shared > 2) continue;
+          // no overlong result edges from the midpoint
+          Vec3 mid = (V[u] + V[v]) * 0.5;
+          bool bad = false;
+          for (int w : nbrs[u]) { Vec3 e = V[w] - mid;
+            if (w != v && e.dot(e) > hi2) { bad = true; break; } }
+          for (int w : nbrs[v]) { Vec3 e = V[w] - mid;
+            if (!bad && w != u && e.dot(e) > hi2) { bad = true; } }
+          if (bad) continue;
+          // collapse v into u at midpoint
+          V[u] = mid;
+          vdead[v] = true;
+          vtouched[u] = true;
+          for (int fi : vf[v]) {
+            if (fdead[fi]) continue;
+            auto& f = F[fi];
+            bool hasU = (f[0]==u || f[1]==u || f[2]==u);
+            for (int k = 0; k < 3; k++) if (f[k] == v) f[k] = u;
+            if (hasU || f[0]==f[1] || f[1]==f[2] || f[0]==f[2])
+              fdead[fi] = true;
+            else vf[u].push_back(fi);
+          }
+          for (int w : nbrs[v]) {
+            if (w == u || vdead[w]) continue;
+            nbrs[w].erase(v); nbrs[w].insert(u); nbrs[u].insert(w);
+            vtouched[w] = true;
+          }
+          nbrs[u].erase(v);
+          break;  // one collapse per u per pass
+        }
+      }
+    }
+    // ---- 3. valence flips ------------------------------------------
+    {
+      std::unordered_map<uint64_t, std::vector<std::pair<int,int>>> e2f;
+      std::vector<int> val((int)V.size(), 0);
+      std::unordered_set<uint64_t> edges;
+      for (size_t fi = 0; fi < F.size(); fi++) {
+        if (fdead[fi]) continue;
+        for (int k = 0; k < 3; k++) {
+          e2f[ekey(F[fi][k], F[fi][(k+1)%3])].push_back({(int)fi, k});
+          edges.insert(ekey(F[fi][k], F[fi][(k+1)%3]));
+        }
+      }
+      for (auto e : edges) {
+        int a = (int)(e >> 32), b = (int)(uint32_t)e;
+        val[a]++; val[b]++;
+      }
+      std::vector<bool> ftouched(F.size(), false);
+      auto dev = [](int v) { return (v - 6) * (v - 6); };
+      for (auto& kv : e2f) {
+        if (kv.second.size() != 2) continue;
+        auto [f1, k1] = kv.second[0];
+        auto [f2, k2] = kv.second[1];
+        if (fdead[f1] || fdead[f2] || ftouched[f1] || ftouched[f2]) continue;
+        int a = F[f1][k1], b = F[f1][(k1+1)%3];
+        int c = F[f1][(k1+2)%3];            // wing in f1
+        int d = -1;                          // wing in f2
+        for (int k = 0; k < 3; k++)
+          if (F[f2][k] != a && F[f2][k] != b) d = F[f2][k];
+        if (d < 0 || c == d) continue;
+        if (edges.count(ekey(c, d))) continue;  // flipped edge exists
+        int before = dev(val[a]) + dev(val[b]) + dev(val[c]) + dev(val[d]);
+        int after = dev(val[a]-1) + dev(val[b]-1) + dev(val[c]+1)
+                  + dev(val[d]+1);
+        if (after >= before) continue;
+        // orientation-preserving flip: f1=(a,b,c) -> (a,d,c),
+        // f2 (contains b,a) -> (b,c,d) ... rebuild explicitly:
+        F[f1] = {c, a, d};
+        F[f2] = {d, b, c};
+        ftouched[f1] = ftouched[f2] = true;
+        val[a]--; val[b]--; val[c]++; val[d]++;
+        edges.erase(ekey(a, b));
+        edges.insert(ekey(c, d));
+      }
+    }
+    // ---- 4. tangential relaxation ----------------------------------
+    {
+      int nv = (int)V.size();
+      std::vector<Vec3> centroid(nv), nrm(nv);
+      std::vector<int> cnt(nv, 0);
+      for (size_t fi = 0; fi < F.size(); fi++) {
+        if (fdead[fi]) continue;
+        auto& f = F[fi];
+        Vec3 n = (V[f[1]] - V[f[0]]).cross(V[f[2]] - V[f[0]]);
+        for (int k = 0; k < 3; k++) {
+          nrm[f[k]] = nrm[f[k]] + n;
+          centroid[f[k]] = centroid[f[k]] + V[f[(k+1)%3]] + V[f[(k+2)%3]];
+          cnt[f[k]] += 2;
+        }
+      }
+      for (int i = 0; i < nv; i++) {
+        if (cnt[i] == 0) continue;
+        Vec3 c = centroid[i] * (1.0 / cnt[i]);
+        Vec3 n = nrm[i];
+        double nn = n.dot(n);
+        Vec3 g = c - V[i];
+        if (nn > 1e-24) g = g - n * (g.dot(n) / nn);
+        V[i] = V[i] + g * 0.5;
+      }
+    }
+  }
+
+  // compact
+  int nv2 = 0, nf2 = 0;
+  std::vector<int> newid((int)V.size(), -1);
+  for (size_t fi = 0; fi < F.size(); fi++) {
+    if (fdead[fi]) continue;
+    if (nf2 >= cap_f) break;
+    for (int k = 0; k < 3; k++) {
+      int vid = F[fi][k];
+      if (newid[vid] < 0) {
+        if (nv2 >= cap_v) return 1;
+        newid[vid] = nv2++;
+        out_verts[3*newid[vid]] = V[vid].x;
+        out_verts[3*newid[vid]+1] = V[vid].y;
+        out_verts[3*newid[vid]+2] = V[vid].z;
+      }
+      out_faces[3*nf2+k] = newid[vid];
+    }
+    nf2++;
+  }
+  *out_nv = nv2;
+  *out_nf = nf2;
   return 0;
 }
 

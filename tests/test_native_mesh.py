@@ -70,3 +70,40 @@ class TestSmooth:
         v2 = native.laplacian_smooth(v, f.astype(np.int32), 3, 0.5)
         r1 = np.linalg.norm(v2, axis=1).mean()
         assert 0.9 * r0 < r1 <= r0 + 1e-9
+
+
+class TestIsotropicRemesh:
+    def test_converges_to_target_edge_length(self):
+        from dreamgaussian_tpu.native import isotropic_remesh
+
+        from test_meshing import sphere_grid
+        from dreamgaussian_tpu.meshing.marching_cubes import marching_cubes
+
+        occ = sphere_grid(0.6, 24)
+        verts, faces = marching_cubes(occ, 0.0)
+        verts = np.asarray(verts, float)
+        faces = np.asarray(faces)
+        target = 0.12 * float(
+            np.linalg.norm(verts.max(0) - verts.min(0))
+        ) / 10.0
+        v2, f2 = isotropic_remesh(verts, faces, target, n_iter=8)
+        e = np.concatenate([
+            np.linalg.norm(v2[f2[:, i]] - v2[f2[:, (i + 1) % 3]], axis=1)
+            for i in range(3)
+        ])
+        # Most edges inside the Botsch-Kobbelt band [2/3 L, 4/3 L].
+        assert ((e > target * 2 / 3) & (e < target * 4 / 3)).mean() > 0.7
+        assert abs(float(e.mean()) - target) < 0.35 * target
+        # No duplicated directed edge (stays manifold/consistent).
+        from collections import Counter
+
+        cnt = Counter()
+        for f in f2:
+            for k in range(3):
+                cnt[(f[k], f[(k + 1) % 3])] += 1
+        assert sum(1 for c in cnt.values() if c > 1) == 0
+        # Shape preserved: mean radius about the centroid unchanged.
+        c0 = verts.mean(0)
+        r_old = np.linalg.norm(verts - c0, axis=1).mean()
+        r_new = np.linalg.norm(v2 - v2.mean(0), axis=1).mean()
+        assert abs(r_new - r_old) / r_old < 0.05

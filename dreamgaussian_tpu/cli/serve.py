@@ -2,12 +2,21 @@
 
 The reference embeds a dearpygui viewer in its trainers
 (/root/reference/main.py:546-877): orbit/zoom camera, display mode
-(image / depth / alpha). dearpygui needs a local display; a TPU VM has
-none, so the equivalent here is a tiny zero-dependency web viewer: it
-loads a gaussian PLY (or textured mesh), renders on demand, and serves a
-single HTML page with drag-to-orbit, wheel-to-zoom, and a mode selector.
+(image / depth / alpha), and a live "start training" toggle
+(:879-886). dearpygui needs a local display; a TPU VM has none, so the
+equivalent here is a tiny zero-dependency web viewer: it loads a
+gaussian PLY (or textured mesh), renders on demand, and serves a single
+HTML page with drag-to-orbit, wheel-to-zoom, and a mode selector.
 
   python -m dreamgaussian_tpu.cli.serve logs/name_model.ply --port 8000
+
+Live-training mode (the reference's in-GUI training loop): pass a
+config instead of an artifact and the viewer runs stage-1 optimization
+in a background thread while serving the CURRENT state; the page gains
+a train on/off toggle and a step/loss readout.
+
+  python -m dreamgaussian_tpu.cli.serve --train --config configs/image.yaml \
+      input=data/anya_rgba.png save_path=anya
 """
 
 from __future__ import annotations
@@ -32,7 +41,8 @@ select,button { background:#222; color:#ddd; border:1px solid #555 }
 <div id="bar">
  mode <select id="mode"><option>image</option><option>depth</option>
  <option>alpha</option></select>
- <span id="stat"></span>
+ <label id="trainbox" style="display:none"><input type="checkbox" id="train"/> train</label>
+ <span id="stat"></span> <span id="tstat"></span>
 </div>
 <img id="view" width="512" height="512"/>
 <script>
@@ -64,17 +74,39 @@ window.onmousemove=e=>{
 img.onwheel=e=>{e.preventDefault();radius*=Math.pow(1.1,e.deltaY>0?1:-1);
   radius=Math.max(0.5,Math.min(10,radius)); refresh();};
 mode.onchange=refresh;
+const trainCb=document.getElementById('train');
+fetch('/status').then(r=>r.json()).then(st=>{
+  if(st.live){document.getElementById('trainbox').style.display='inline';
+    trainCb.checked=st.training;
+    setInterval(()=>{fetch('/status').then(r=>r.json()).then(st=>{
+      document.getElementById('tstat').textContent=
+        `step ${st.step} loss ${st.loss===null?'-':st.loss.toFixed(3)}`;
+      if(st.training) refresh();
+    })}, 1000);}
+});
+trainCb&&(trainCb.onchange=()=>fetch('/train?on='+(trainCb.checked?1:0)));
 refresh();
 </script></body></html>"""
 
 
 class ViewerState:
-    def __init__(self, path: str, size: int = 512, fovy_deg: float = 49.1):
+    def __init__(self, path: str | None, size: int = 512,
+                 fovy_deg: float = 49.1, trainer=None):
         import jax.numpy as jnp
 
         self.size = size
         self.fovy = math.radians(fovy_deg)
         self.lock = threading.Lock()
+        self.trainer = trainer
+        self.training = False
+        self.last_loss = None
+        if trainer is not None:
+            self.kind = "live"
+            self._train_thread = threading.Thread(
+                target=self._train_loop, daemon=True
+            )
+            self._train_thread.start()
+            return
         ext = os.path.splitext(path)[1].lower()
         if ext == ".ply":
             from ..scene import load_ply
@@ -94,6 +126,21 @@ class ViewerState:
             self.mstate = MeshRendererState.from_mesh(mesh)
             self.kind = "mesh"
 
+    def _train_loop(self):
+        """Background stage-1 optimization (the reference GUI's
+        train_step-per-frame loop, /root/reference/main.py:879-886).
+        The shared lock serializes device work against render calls."""
+        import time as _time
+
+        total = self.trainer.opt.get("iters", 500)
+        while True:
+            if not self.training or self.trainer.step >= total:
+                _time.sleep(0.1)
+                continue
+            with self.lock:
+                loss = self.trainer.train_step()
+            self.last_loss = float(loss)
+
     def render(self, elev: float, azim: float, radius: float, mode: str):
         import jax.numpy as jnp
 
@@ -105,7 +152,10 @@ class ViewerState:
         )
         arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
         with self.lock:
-            if self.kind == "gaussians":
+            if self.kind == "live":
+                out = self.trainer.render_view(cam)
+                image, depth, alpha = out.image, out.depth, out.alpha
+            elif self.kind == "gaussians":
                 from ..train.stage1 import get_cached_render
 
                 fn = get_cached_render(
@@ -153,6 +203,26 @@ def make_handler(state: ViewerState):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif url.path == "/status":
+                body = json.dumps({
+                    "live": state.kind == "live",
+                    "training": state.training,
+                    "step": getattr(state.trainer, "step", 0)
+                    if state.trainer else 0,
+                    "loss": state.last_loss,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/train":
+                q = parse_qs(url.query)
+                state.training = q.get("on", ["0"])[0] == "1"
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
             elif url.path == "/render":
                 q = parse_qs(url.query)
                 img = state.render(
@@ -176,14 +246,46 @@ def make_handler(state: ViewerState):
     return Handler
 
 
+def make_live_state(config: str, extras: list, size: int) -> "ViewerState":
+    """Build a Stage1Trainer from a config for the live-training mode."""
+    from ..utils.config import load_with_cli
+    from .main import build_guidances
+    from .process import load_rgba
+
+    opt = load_with_cli(config, extras)
+    ref_rgb = ref_mask = None
+    if opt.get("input", None):
+        rgba = load_rgba(opt.input, size=opt.get("ref_size", 256))
+        ref_mask = rgba[..., 3]
+        ref_rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
+    from ..train import Stage1Trainer
+
+    trainer = Stage1Trainer(
+        opt, ref_rgb=ref_rgb, ref_mask=ref_mask,
+        guidance_fns=build_guidances(opt, ref_rgb),
+        capacity=opt.get("capacity", 16384), seed=opt.get("seed", 0),
+    )
+    return ViewerState(None, size=size, trainer=trainer)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("path", help=".ply gaussians or mesh")
+    ap.add_argument("path", nargs="?", help=".ply gaussians or mesh")
+    ap.add_argument("--train", action="store_true",
+                    help="live-training mode (needs --config)")
+    ap.add_argument("--config", default=None)
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--size", type=int, default=512)
-    args = ap.parse_args(argv)
+    args, extras = ap.parse_known_args(argv)
 
-    state = ViewerState(args.path, size=args.size)
+    if args.train:
+        if not args.config:
+            raise SystemExit("--train needs --config <yaml> [key=val ...]")
+        state = make_live_state(args.config, extras, args.size)
+    else:
+        if not args.path:
+            raise SystemExit("pass an artifact path, or --train --config")
+        state = ViewerState(args.path, size=args.size)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
     print(f"[INFO] viewer at http://localhost:{args.port}/ ({state.kind})")
     server.serve_forever()

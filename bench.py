@@ -1,19 +1,27 @@
 """Benchmark: image-to-3D stage-1 training throughput (the BASELINE
-north-star workload).
+north-star workload) plus rasterizer speed-of-light numbers.
 
-Measures the fused scan-step trainer at each rung of the resolution
-ladder (128/256/512, capacity 8192, known view 256, fake-zero123 SDS —
-the exact graphs the CLI runs) in steady state (second segment per
-rung) and projects the 500-iteration wall-clock from those rates.
-One-time costs (first-call executable upload, trainer init) are
-excluded — they amortize across assets in batch use and vanish on
-non-tunneled TPUs. vs_baseline compares against the reference's
-"~1 minute" claim for the same workload on its tested GPUs
+Measures:
+- **Rasterizer fwd+bwd Mpix/s** at 512^2 / 8192 gaussians (the kernel
+  BASELINE row), steady state on one chip.
+- **Per-rung s/iter and rays/s** of the fused scan-step trainer at each
+  rung of the resolution ladder (128/256/512, capacity 8192, known view
+  256) in steady state, and the projected 500-iteration wall-clock.
+- Guidance: by default the tiny fake zero123 (no real weights ship in
+  this image) — the projection is then labeled ``render_side_only`` and
+  excludes the real UNet+VAE cost. Point ``DG_ZERO123_CKPT`` at a
+  diffusers-format zero123 snapshot to measure the REAL north-star
+  workload (full SDS through the converted Flax UNet/VAE).
+
+One-time costs (first-call executable upload, trainer init) are excluded
+— they amortize across assets in batch use and vanish on non-tunneled
+TPUs. vs_baseline compares against the reference's "~1 minute" claim for
+the same 500-iter stage on its tested GPUs
 (/root/reference/readme.md:71-72): value > 1 means faster.
 
-Prints ONE JSON line. Uses the persistent compilation cache
-(~/.cache/jax_comp_cache) — the first run on a fresh cache pays remote
-TPU compiles (minutes); later runs measure steady state.
+Prints ONE JSON line (headline = projected 500-iter seconds; detail in
+"extra"). Uses the persistent compile + AOT executable caches; a fresh
+cache pays remote TPU compiles (minutes) on first run.
 """
 
 import json
@@ -21,6 +29,81 @@ import os
 import time
 
 import numpy as np
+
+
+def bench_rasterizer(iters: int = 30):
+    """Steady-state fwd+bwd Mpix/s of the tile rasterizer at 512^2."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamgaussian_tpu.ops.rasterize import render_gaussians
+    from dreamgaussian_tpu.utils.aotcache import AotCached
+    from dreamgaussian_tpu.utils.camera import Camera, orbit_camera
+    import math
+
+    n = 8192
+    size = 512
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(size=(n, 3)) * 0.35, jnp.float32)
+    scale = jnp.asarray(
+        np.exp(rng.uniform(-4.5, -3.0, size=(n, 3))), jnp.float32
+    )
+    quat = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opacity = jnp.asarray(
+        1 / (1 + np.exp(-rng.normal(size=(n,)))), jnp.float32
+    )
+    shs = jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.3, jnp.float32)
+    fov = math.radians(49.1)
+    cam = Camera.from_pose(orbit_camera(15.0, 30.0, 2.0), size, size,
+                           fov, fov)
+    a = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+
+    def loss(xyz, scale, quat, opacity, shs):
+        out = render_gaussians(
+            xyz, scale, quat, opacity, shs, a["view"], a["full_proj"],
+            a["campos"], a["tanfov"], size, size, jnp.ones(3),
+            sh_degree=0, tile=32, max_tiles=12,
+        )
+        return jnp.sum(out.image ** 2) + jnp.sum(out.alpha)
+
+    import jax
+
+    fn = AotCached(
+        jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4))),
+        tag=f"bench_rast_{size}_{n}",
+    )
+    args = (xyz, scale, quat, opacity, shs)
+    g = fn(*args)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = fn(*args)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "s_per_fwd_bwd": round(dt, 5),
+        "mpix_per_s": round(size * size / dt / 1e6, 1),
+    }
+
+
+def build_guidance():
+    """Real zero123 if DG_ZERO123_CKPT points at a snapshot, else fake."""
+    ckpt = os.environ.get("DG_ZERO123_CKPT")
+    if ckpt and os.path.isdir(ckpt):
+        from PIL import Image
+
+        from dreamgaussian_tpu.guidance.loader import load_zero123
+
+        img = np.asarray(
+            Image.open("/root/reference/data/anya_rgba.png").resize(
+                (256, 256)
+            )
+        ).astype(np.float32) / 255.0
+        rgb = img[..., :3] * img[..., 3:4] + (1 - img[..., 3:4])
+        return load_zero123(ckpt, ref_image=rgb), "zero123_real"
+    from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
+
+    return fake_zero123_guidance(), "fake_render_side_only"
 
 
 def main() -> None:
@@ -34,9 +117,10 @@ def main() -> None:
 
     from PIL import Image
 
-    from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
     from dreamgaussian_tpu.train import Stage1Trainer
     from dreamgaussian_tpu.utils.config import Config
+
+    rast = bench_rasterizer()
 
     img = np.asarray(
         Image.open("/root/reference/data/anya_rgba.png").resize((256, 256))
@@ -44,35 +128,52 @@ def main() -> None:
     mask = img[..., 3:4]
     rgb = img[..., :3] * mask + (1 - mask)
 
+    g, guidance_kind = build_guidance()
+
     opt = Config(dict(
         iters=500, ref_size=256, num_pts=5000, sh_degree=0, batch_size=1,
         warmup_rgb_loss=True, density_start_iter=100, density_end_iter=3000,
         densification_interval=100, opacity_reset_interval=700, elevation=0,
         radius=2.0, fovy=49.1, min_ver=-30, max_ver=30, invert_bg_prob=0.5,
     ))
-    g = fake_zero123_guidance()
     tr = Stage1Trainer(
         opt, ref_rgb=rgb, ref_mask=mask[..., 0], capacity=8192, seed=0,
         guidance_fns=((1.0, g.guidance_fn()),),
     )
 
     # The 500-iter ladder: steps 1-149 @128, 150-299 @256, 300-500 @512.
-    # Time one warm K=50 segment per rung; charge the remainder at the
-    # measured rate.
+    # Per rung: warm up (compile/cache load + any overflow escalation
+    # retrace), then time a clean K=50 segment; charge the remainder at
+    # the measured rate.
     seg_counts = {128: 149, 256: 150, 512: 201}
+    s_per_iter = {}
+    rays_per_s = {}
+    overflow_in_measured = {}
     total = 0.0
     K = 50
-    for _ in range(3):  # walk the ladder; trainer tracks step internally
+    for _ in range(3):
         size = tr._novel_size_for(tr.step + 1, 500)
-        # warmup (compile or cache load)
-        tr.train_segment(K, 500)
-        jax.block_until_ready(tr.params["xyz"])
+        # Stabilize the binning capacity: untimed warm segments until a
+        # segment completes without escalation (an escalation retraces,
+        # and a retrace inside a timed segment would measure the remote
+        # compile, not the step).
+        for _try in range(4):
+            tr.train_segment(K, 500)
+            jax.block_until_ready(tr.params["xyz"])
+            mt_before = tr.max_tiles
+            tr._check_overflow()
+            if tr.max_tiles == mt_before:
+                break
         t0 = time.perf_counter()
         tr.train_segment(K, 500)
         jax.block_until_ready(tr.params["xyz"])
         dt = time.perf_counter() - t0
+        overflow_in_measured[size] = int(np.max(np.asarray(tr.overflow)))
+        tr._check_overflow()
+        s_per_iter[size] = round(dt / K, 4)
+        n_views = tr.batch_size * tr.n_views
+        rays_per_s[size] = round(size * size * n_views / (dt / K), 0)
         total += dt / K * seg_counts[size]
-        # skip ahead to the next rung
         while (tr.step < 500
                and tr._novel_size_for(tr.step + 1, 500) == size):
             tr.step += 1
@@ -83,6 +184,14 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": round(ref_s / total, 3),
+        "extra": {
+            "guidance": guidance_kind,
+            "rasterize_fwd_bwd_512": rast,
+            "s_per_iter": s_per_iter,
+            "rays_per_s": rays_per_s,
+            "max_tiles_final": tr.max_tiles,
+            "overflow_in_measured": overflow_in_measured,
+        },
     }))
 
 

@@ -272,6 +272,138 @@ def sample_texture(
     )
 
 
+def _aa_axis(color, tri_id, zbuf, mask, xy, faces, horizontal, z_eps):
+    """Additive antialias adjustment from one pass of adjacent pixel
+    pairs (horizontal: (y,x)-(y,x+1), else (y,x)-(y+1,x)). See
+    ``antialias``."""
+    h, w = tri_id.shape
+    nf = faces.shape[0]
+    if horizontal:
+        sl_a = (slice(None), slice(0, w - 1))
+        sl_b = (slice(None), slice(1, None))
+    else:
+        sl_a = (slice(0, h - 1), slice(None))
+        sl_b = (slice(1, None), slice(None))
+
+    id_a, id_b = tri_id[sl_a], tri_id[sl_b]
+    m_a, m_b = mask[sl_a], mask[sl_b]
+    z_a = jnp.where(m_a, zbuf[sl_a], jnp.inf)
+    z_b = jnp.where(m_b, zbuf[sl_b], jnp.inf)
+
+    # Silhouette proxy: ids differ AND (background on one side or a
+    # depth discontinuity). Interior shared edges of a watertight mesh
+    # have continuous depth and are excluded — the shape-static
+    # equivalent of nvdiffrast's topology-hash silhouette test.
+    pair = (id_a != id_b) & (
+        (~m_a) | (~m_b) | (jnp.abs(z_a - z_b) > z_eps)
+    )
+    win_a = z_a <= z_b                       # closer side owns the edge
+    wid = jnp.where(win_a, id_a, id_b)
+    fidx = jnp.clip(wid - 1, 0, nf - 1)
+    p = xy[faces[fidx]]                      # [h', w', 3, 2] DIFFERENTIABLE
+
+    # Pixel centers of winner (t=0) and loser (t=1).
+    ys, xs = jnp.meshgrid(
+        jnp.arange(id_a.shape[0], dtype=jnp.float32),
+        jnp.arange(id_a.shape[1], dtype=jnp.float32),
+        indexing="ij",
+    )
+    off = jnp.where(win_a, 0.0, 1.0)
+    if horizontal:
+        qwx, qwy = xs + off, ys
+        qlx, qly = xs + (1.0 - off), ys
+    else:
+        qwx, qwy = xs, ys + off
+        qlx, qly = xs, ys + (1.0 - off)
+
+    def edges(qx, qy):
+        # e_i oriented inside-positive via the area sign; pairs
+        # (1,2),(2,0),(0,1) match bary_at's e0,e1,e2.
+        es = []
+        for i1, i2 in ((1, 2), (2, 0), (0, 1)):
+            es.append(
+                (p[..., i2, 0] - p[..., i1, 0]) * (qy - p[..., i1, 1])
+                - (p[..., i2, 1] - p[..., i1, 1]) * (qx - p[..., i1, 0])
+            )
+        e = jnp.stack(es, axis=-1)           # [h', w', 3]
+        area = jnp.sum(e, axis=-1, keepdims=True)
+        return e * jnp.where(area >= 0, 1.0, -1.0)
+
+    # Each edge is owned by exactly ONE pair orientation (nvdiffrast's
+    # rule): mostly-vertical edges (|dy| >= |dx|) by horizontal pairs,
+    # mostly-horizontal ones by vertical pairs — otherwise diagonal
+    # silhouettes get blended (and differentiated) twice.
+    dxy = jnp.abs(
+        p[..., (2, 0, 1), :] - p[..., (1, 2, 0), :]
+    )  # [h', w', 3, 2]
+    owned = (
+        dxy[..., 1] >= dxy[..., 0] if horizontal
+        else dxy[..., 0] > dxy[..., 1]
+    )
+
+    e_w = edges(qwx, qwy)
+    e_l = edges(qlx, qly)
+    # Crossing of each exiting edge along winner->loser; first exit wins.
+    crossing = (e_w >= 0) & (e_l < 0) & owned
+    t_i = e_w / jnp.maximum(e_w - e_l, 1e-12)
+    t = jnp.min(jnp.where(crossing, t_i, 2.0), axis=-1)
+    has = jnp.any(crossing, axis=-1) & pair
+    # t = 1/2 is the fixed point (zero blend both ways): non-silhouette
+    # pairs and no-crossing pairs must land exactly there.
+    t = jnp.clip(jnp.where(has, t, 0.5), 0.0, 1.0)
+
+    c_a, c_b = color[sl_a], color[sl_b]
+    c_w = jnp.where(win_a[..., None], c_a, c_b)
+    c_l = jnp.where(win_a[..., None], c_b, c_a)
+    w_l = jnp.maximum(0.0, t - 0.5)[..., None]   # winner spills past mid
+    w_w = jnp.maximum(0.0, 0.5 - t)[..., None]   # winner retreats
+    adj_w = w_w * (c_l - c_w)
+    adj_l = w_l * (c_w - c_l)
+    adj_a = jnp.where(win_a[..., None], adj_w, adj_l)
+    adj_b = jnp.where(win_a[..., None], adj_l, adj_w)
+
+    adj = jnp.zeros_like(color)
+    if horizontal:
+        adj = adj.at[:, : w - 1].add(adj_a).at[:, 1:].add(adj_b)
+    else:
+        adj = adj.at[: h - 1, :].add(adj_a).at[1:, :].add(adj_b)
+    return adj
+
+
+def antialias(
+    color: jnp.ndarray,
+    rast: RastOut,
+    v_clip: jnp.ndarray,
+    faces: jnp.ndarray,
+    width: int,
+    height: int,
+    z_eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Analytic silhouette-edge antialiasing — nvdiffrast
+    ``dr.antialias`` analogue (/root/reference/mesh_renderer.py:137).
+
+    For every horizontally/vertically adjacent pixel pair whose triangle
+    ids differ at a silhouette, the closer triangle's exiting edge is
+    intersected with the segment between the two pixel centers; the
+    crossing parameter t (0 at the winner's center, 1 at the loser's)
+    converts to a coverage blend: t > 1/2 blends the winner color into
+    the loser pixel with weight t - 1/2, t < 1/2 blends the loser color
+    into the winner pixel with weight 1/2 - t. t is differentiable
+    w.r.t. the projected vertices — the whole point: gradients reach
+    occluding geometry THROUGH silhouettes, which plain rasterization
+    (piecewise-constant coverage) cannot provide. Selection logic
+    (ids, winner, crossing masks) is non-differentiable by construction;
+    only t and the colors carry gradients, matching nvdiffrast.
+    """
+    xy, _, _ = _screen_coords(v_clip, width, height)
+    args = (color, rast.tri_id, rast.zbuf, rast.mask, xy, faces)
+    return (
+        color
+        + _aa_axis(*args, horizontal=True, z_eps=z_eps)
+        + _aa_axis(*args, horizontal=False, z_eps=z_eps)
+    )
+
+
 def scale_img(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize [H, W, C] -> [h, w, C] (SSAA up/downscale)."""
     return jax.image.resize(img, (h, w, img.shape[-1]), "bilinear")

@@ -92,32 +92,41 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
 @jax.custom_vjp
-def _dup_gather(feat_cols, dup_map, gather_map):
+def _dup_gather(feat_cols, dup_map, gather_map, big_src, big_gather):
     """feat_cols[:, dup_map] with a gather-based backward.
 
     XLA's VJP for a gather is a sort-based scatter-add — measurably the
-    hottest fusion in the render backward. The inverse map from binning
-    turns it into max_tiles gathers + a sum."""
+    hottest fusion in the render backward. The inverse maps from binning
+    turn it into max_tiles gathers + a sum for the base slots, plus one
+    SMALL scatter-add for the big-class extra slots."""
     return jnp.take(feat_cols, dup_map, axis=1)
 
 
-def _dup_gather_fwd(feat_cols, dup_map, gather_map):
+def _dup_gather_fwd(feat_cols, dup_map, gather_map, big_src, big_gather):
     return jnp.take(feat_cols, dup_map, axis=1), (
-        feat_cols.shape, gather_map, dup_map,
+        feat_cols.shape, gather_map, dup_map, big_src, big_gather,
     )
 
 
 def _dup_gather_bwd(res, g):
-    (rows, cols), gather_map, dup_map = res
+    (rows, cols), gather_map, dup_map, big_src, big_gather = res
     n, mt = gather_map.shape
     per_dup = jnp.take(
         g, gather_map.reshape(-1), axis=1, mode="fill", fill_value=0.0
     ).reshape(rows, n, mt)
     g_cols = jnp.sum(per_dup, axis=-1)            # [rows, n]
+    nb, bb = big_gather.shape
+    per_big = jnp.take(
+        g, big_gather.reshape(-1), axis=1, mode="fill", fill_value=0.0
+    ).reshape(rows, nb, bb)
+    g_cols = g_cols.at[:, big_src].add(
+        jnp.sum(per_big, axis=-1), unique_indices=True
+    )
     g_cols = jnp.pad(g_cols, ((0, 0), (0, cols - n)))
-    zero_i = np.zeros(dup_map.shape, dtype=jax.dtypes.float0)
-    zero_g = np.zeros(gather_map.shape, dtype=jax.dtypes.float0)
-    return g_cols, zero_i, zero_g
+    zero = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return g_cols, zero(dup_map), zero(gather_map), zero(big_src), zero(
+        big_gather
+    )
 
 
 _dup_gather.defvjp(_dup_gather_fwd, _dup_gather_bwd)
@@ -172,7 +181,10 @@ def rasterize_projected(
     )
     feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
 
-    dup_feat = _dup_gather(feat_cols, bins.dup_map, bins.gather_map)
+    dup_feat = _dup_gather(
+        feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
+        bins.big_gather,
+    )
     out = _composite(
         dup_feat, bins.chunk_starts, bins.n_chunks,
         jnp.zeros((1,), jnp.int32), grid_x, num_tiles, chunk, tile,

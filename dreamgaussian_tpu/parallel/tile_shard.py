@@ -79,7 +79,10 @@ def rasterize_projected_tile_sharded(
         axis=0,
     )
     feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
-    dup_feat = _dup_gather(feat_cols, bins.dup_map, bins.gather_map)
+    dup_feat = _dup_gather(
+        feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
+        bins.big_gather,
+    )
 
     # This device's slab of tiles.
     shard = jax.lax.axis_index(axis_name)

@@ -13,9 +13,11 @@ TPU-first differences:
 - texture sampling defaults to linear-mipmap-linear like the reference's
   nvdiffrast call (filter_mode, /root/reference/mesh_renderer.py:110),
   with the LOD from analytic per-triangle UV screen derivatives;
-- no analytic edge antialiasing: SSAA only. The reference's own training
-  loop already jitters SSAA every step (/root/reference/main2.py:182,213),
-  which is the signal that actually shapes gradients at silhouettes;
+- analytic silhouette-edge antialiasing (ops.mesh_raster.antialias, the
+  dr.antialias analogue at /root/reference/mesh_renderer.py:137) runs on
+  the albedo before background blending, exactly like the reference, and
+  composes with the SSAA jitter the training loop applies
+  (/root/reference/main2.py:182,213);
 - SSAA factors are quantized (0.5 / 1 / 2) so renders stay within three
   compiled shapes instead of recompiling per step.
 """
@@ -109,6 +111,7 @@ def render_mesh(
     tile: int = 32,
     max_tiles: int = 16,
     texture_filter: str = "linear-mipmap-linear",
+    edge_aa: bool = True,
 ):
     """Render the mesh through one camera.
 
@@ -159,6 +162,13 @@ def render_mesh(
     normal = _safe_normalize(interpolate(vn, state.f, rast))
     rot_normal = normal @ pose_rot
     viewcos = rot_normal[..., 2:3]
+
+    if edge_aa:
+        # Reference order: antialias the albedo, THEN background-blend
+        # with the hard alpha (/root/reference/mesh_renderer.py:137-138).
+        from ..ops.mesh_raster import antialias
+
+        albedo = antialias(albedo, rast, v_clip, state.f, w, h)
 
     image = alpha * albedo + (1.0 - alpha) * bg_color
 

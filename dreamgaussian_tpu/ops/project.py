@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import sh as sh_ops
-from .quat import build_covariance
+from .quat import build_covariance6
 
 
 class ProjectedGaussians(NamedTuple):
@@ -88,7 +88,12 @@ def project_gaussians(
     mean2d = ((ndc_xy + 1.0) * sizes - 1.0) * 0.5
 
     # EWA: 2D covariance = J W Sigma W^T J^T with frustum-clamped Jacobian.
-    cov3d = build_covariance(scale * scale_modifier, quat)  # [N,3,3]
+    # Fully scalarized: batched [N,2,3]x[N,3,3] matmuls lower poorly on TPU
+    # (padded MXU / VPU loops, ~1.3 ms at N=8k); the expanded per-component
+    # form is ~50 elementwise [N] ops and effectively free.
+    c00, c01, c02, c11, c12, c22 = build_covariance6(
+        scale * scale_modifier, quat
+    )
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     tz = depth
@@ -99,21 +104,29 @@ def project_gaussians(
 
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    zeros = jnp.zeros_like(tz)
-    # J [N,2,3]: only the two rows that matter for the 2D covariance.
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    W = view[:3, :3]  # world->view rotation
-    T = jnp.matmul(J, W, precision=hi)  # [N,2,3]
-    cov2d = jnp.matmul(jnp.matmul(T, cov3d, precision=hi), jnp.swapaxes(T, -1, -2), precision=hi)  # [N,2,2]
-    cxx = cov2d[:, 0, 0] + 0.3
-    cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + 0.3
+    # J rows: j0 = (fx/tz, 0, -fx*tx/tz^2), j1 = (0, fy/tz, -fy*ty/tz^2).
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    W = view[:3, :3]  # world->view rotation (constant across gaussians)
+    # T = J W, two rows of three [N]-vectors each.
+    t00 = j00 * W[0, 0] + j02 * W[2, 0]
+    t01 = j00 * W[0, 1] + j02 * W[2, 1]
+    t02 = j00 * W[0, 2] + j02 * W[2, 2]
+    t10 = j11 * W[1, 0] + j12 * W[2, 0]
+    t11 = j11 * W[1, 1] + j12 * W[2, 1]
+    t12 = j11 * W[1, 2] + j12 * W[2, 2]
+    # U = T C (rows of T times symmetric C), then cov2d = U T^T.
+    u00 = t00 * c00 + t01 * c01 + t02 * c02
+    u01 = t00 * c01 + t01 * c11 + t02 * c12
+    u02 = t00 * c02 + t01 * c12 + t02 * c22
+    u10 = t10 * c00 + t11 * c01 + t12 * c02
+    u11 = t10 * c01 + t11 * c11 + t12 * c12
+    u12 = t10 * c02 + t11 * c12 + t12 * c22
+    cxx = u00 * t00 + u01 * t01 + u02 * t02 + 0.3
+    cxy = u00 * t10 + u01 * t11 + u02 * t12
+    cyy = u10 * t10 + u11 * t11 + u12 * t12 + 0.3
 
     det = cxx * cyy - cxy * cxy
     det_valid = det != 0.0

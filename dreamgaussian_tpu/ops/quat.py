@@ -55,6 +55,38 @@ def build_covariance(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=jax.lax.Precision.HIGHEST)
 
 
+def build_covariance6(scale: jnp.ndarray, quat: jnp.ndarray) -> tuple:
+    """Packed upper-triangular covariance components as six ``[...]`` arrays.
+
+    Same math as :func:`build_covariance` but fully scalarized: batched
+    3x3 matmuls lower to padded MXU ops or VPU loops on TPU (measured
+    ~1.3 ms for the whole projection at N=8k); ~40 elementwise [N] ops
+    are effectively free. Returns (xx, xy, xz, yy, yz, zz).
+    """
+    q = normalize_quat(quat)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = scale[..., 0] * scale[..., 0]
+    s1 = scale[..., 1] * scale[..., 1]
+    s2 = scale[..., 2] * scale[..., 2]
+    # C = R diag(s^2) R^T -> C_ij = sum_k R_ik R_jk s_k^2.
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return xx, xy, xz, yy, yz, zz
+
+
 def pack_covariance(cov: jnp.ndarray) -> jnp.ndarray:
     """Symmetric ``[..., 3, 3]`` -> packed 6-vector (xx, xy, xz, yy, yz, zz)."""
     return jnp.stack(

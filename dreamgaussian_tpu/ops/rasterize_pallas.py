@@ -5,30 +5,39 @@ of ``diff-gaussian-rasterization`` (call surface
 /root/reference/gs_renderer.py:745-822). The design is TPU-first rather
 than a translation of the CUDA warp model:
 
-- **Pixels live on sublanes, gaussians on lanes.** Each 16x16 tile is a
-  256-row vector; a chunk of ``C`` depth-sorted gaussians is a [256, C]
-  problem. All per-pair math is VPU-friendly broadcasting.
+- **Pixels live on sublanes, gaussians on lanes.** Each tile is a
+  tile*tile-row vector; a chunk of ``C`` depth-sorted gaussians is a
+  [PIX, C] problem. All per-pair math is VPU-friendly broadcasting.
 - **Front-to-back compositing without a sequential loop.** The CUDA kernel
   walks gaussians one-by-one per pixel. Here the exclusive prefix product
   of transmittance inside a chunk is computed as ``exp(log1p(-alpha) @
-  STRICT_UPPER)`` — a triangular matmul on the MXU — and the early-stop
-  rule (first gaussian that would push T below 1e-4 terminates the pixel
-  and does not contribute) becomes a cummax over the same triangular
-  structure. Color/depth accumulation is another [256,C]x[C,3] matmul.
-- **Chunk-aligned duplicate lists** (see binning.py) are streamed from HBM
-  with double-buffered DMA; zero-padded slots are inert (opacity 0).
+  STRICT_UPPER)`` — a triangular matmul on the MXU. The early-stop rule
+  needs NO second matmul: with the naive (non-stopping) prefix product
+  t_naive — which is non-increasing, and which the triggering gaussian
+  pushes below TERM_EPS for every successor — the contributor set is just
+  ``alpha>0 and t_naive*(1-alpha) >= TERM_EPS`` (matches the dense oracle
+  in rasterize_ref.py exactly). Color/depth accumulation is another
+  [PIX,C]x[C,3] matmul.
+- **Many tiles per grid step.** Per-grid-step fixed cost on TPU is
+  ~10-15 us; with one 32px tile per step that overhead dominated the whole
+  kernel (measured ~3 ms fixed for 256 steps at 512^2 vs <1 ms of real
+  compute). The chunk-aligned duplicate lists of consecutive tiles are
+  CONTIGUOUS in the aligned array (binning lays tiles out back-to-back),
+  so each grid step streams the combined chunk range of ``bt`` tiles with
+  one double-buffered DMA pipeline, advancing the current tile by
+  comparing the chunk index against the prefetched tile starts.
 - **Backward is a reverse chunk sweep** reconstructing per-gaussian
   transmittance from the stored final T (the CUDA back-to-front division
   trick, vectorized as an inclusive-suffix triangular matmul) and the
   stored per-pixel contributor count; per-duplicate gradients are written
-  back to HBM and segment-summed into per-gaussian gradients by XLA's
-  gather VJP outside the kernel.
+  back to HBM and reduced to per-gaussian gradients by gather outside the
+  kernel.
 
 Feature/gradient row layout (FEAT_ROWS x K_aligned, f32):
   0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
   5 color_r, 6 color_g, 7 color_b, 8 opacity, 9 depth, 10..15 pad.
 
-Forward per-tile output layout ([T, 256, OUT_CH]):
+Forward per-tile output layout ([T, PIX, OUT_CH]):
   0..2 rgb (premultiplied, no background), 3 depth, 4 T_final,
   5 n_contrib, 6..7 pad.
 """
@@ -49,6 +58,7 @@ OUT_CH = 8
 TERM_EPS = 1e-4
 ALPHA_SKIP = 1.0 / 255.0
 ALPHA_MAX = 0.99
+BT = 8                    # tiles per grid step (fixed-overhead amortization)
 
 _f32 = jnp.float32
 
@@ -119,76 +129,105 @@ def _tri_masks(c):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, out_ref,
-                buf, sems, *, grid_x: int, chunk: int, tile: int):
+def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
+                grid_x: int, chunk: int, tile: int, bt: int):
+    """One grid step = the contiguous chunk range of ``bt`` tiles.
+
+    cs_ref: [n_blocks*bt + 1] chunk start of each tile (extended; entry
+    t+1 is tile t's end — the aligned layout is back-to-back).
+    """
     pix = tile * tile
-    t = pl.program_id(0)
-    n_chunks = n_chunks_ref[t]
-    start = chunk_start_ref[t]
-    # off_ref: global id of this shard's first tile (tile sharding).
-    px, py = _pixel_coords(t + off_ref[0], grid_x, tile)
+    b = pl.program_id(0)
+    tb0 = b * bt
+    cs0 = cs_ref[tb0]
+    cs1 = cs_ref[tb0 + bt]
     strict_upper, _, _ = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def get_dma(slot, c):
+    # Empty tiles never store: initialize the whole block to the empty
+    # result (T=1, everything else 0).
+    out_ref[...] = jnp.concatenate(
+        [jnp.zeros((bt, pix, 4), _f32), jnp.ones((bt, pix, 1), _f32),
+         jnp.zeros((bt, pix, OUT_CH - 5), _f32)], axis=2,
+    )
+
+    def get_dma(slot, k):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds((start + c) * chunk, chunk)],
+            feat_hbm.at[:, pl.ds(k * chunk, chunk)],
             buf.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    @pl.when(cs1 > cs0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, cs0).start()
 
-    def body(c, carry):
-        t_run, rgb, dep, ncontrib = carry
-        slot = jax.lax.rem(c, 2)
+    def body(k, carry):
+        # t_naive: prefix product of (1-alpha) over ALL gaussians so far,
+        # ignoring the early-stop rule; t_true: product over contributors
+        # only (the CUDA T_final — the trigger does not multiply in).
+        cur_t, t_naive, t_true, rgb, dep, ncontrib = carry
+        slot = jax.lax.rem(k - cs0, 2)
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(k + 1 < cs1)
         def _():
-            get_dma(1 - slot, c + 1).start()
+            get_dma(1 - slot, k + 1).start()
 
-        get_dma(slot, c).wait()
+        # Advance to the tile owning chunk k (skips empty tiles).
+        cur_t = jax.lax.while_loop(
+            lambda t: k >= cs_ref[t + 1], lambda t: t + 1, cur_t
+        )
+        first = k == cs_ref[cur_t]
+        is_last = k == cs_ref[cur_t + 1] - 1
+        t_naive = jnp.where(first, 1.0, t_naive)
+        t_true = jnp.where(first, 1.0, t_true)
+        rgb = jnp.where(first, 0.0, rgb)
+        dep = jnp.where(first, 0.0, dep)
+        ncontrib = jnp.where(first, 0.0, ncontrib)
+
+        px, py = _pixel_coords(cur_t + off_ref[0], grid_x, tile)
+
+        get_dma(slot, k).wait()
         feat = buf[slot]
 
         alpha, _, _, _, _, _ = _chunk_alpha(feat, px, py)
         lg = jnp.log1p(-alpha)
-        t_g = t_run * jnp.exp(_dot(lg, strict_upper))      # T before each g
-        one_m = 1.0 - alpha
-        # done pixels carry t_run < TERM_EPS is impossible (invariant), but a
-        # triggering gaussian must stop the pixel without contributing.
-        test = ((t_g * one_m < TERM_EPS) & (alpha > 0.0)).astype(_f32)
-        trig_before = _dot(test, strict_upper) > 0.0
-        m = jnp.logical_not(trig_before) * (1.0 - test)    # [PIX, C] 0/1
+        t_g = t_naive * jnp.exp(_dot(lg, strict_upper))    # naive T before g
+        m = ((t_g * (1.0 - alpha) >= TERM_EPS) & (alpha > 0.0)).astype(_f32)
         w = alpha * t_g * m
 
         colors = feat[5:8, :]                               # [3, C]
         rgb = rgb + _dot_t(w, colors)                       # [PIX, 3]
         dep = dep + _dot_t(w, feat[9:10, :])                # [PIX, 1]
 
-        gpos = (c * chunk + lane + 1).astype(_f32)
+        gpos = ((k - cs_ref[cur_t]) * chunk + lane + 1).astype(_f32)
         ncontrib = jnp.maximum(
-            ncontrib, jnp.max(jnp.where(w > 0.0, gpos, 0.0), axis=1, keepdims=True)
+            ncontrib,
+            jnp.max(jnp.where(w > 0.0, gpos, 0.0), axis=1, keepdims=True),
         )
 
-        any_trig = _dot(test, ones_c) > 0.0                 # [PIX, 1]
-        t_at_trig = _dot(t_g * test * jnp.logical_not(trig_before), ones_c)
-        t_full = t_run * jnp.exp(_dot(lg, ones_c))
-        t_run = jnp.where(any_trig, t_at_trig, t_full)
-        return t_run, rgb, dep, ncontrib
+        t_naive = t_naive * jnp.exp(_dot(lg, ones_c))
+        t_true = t_true * jnp.exp(_dot(lg * m, ones_c))
+
+        @pl.when(is_last)
+        def _():
+            out_ref[cur_t - tb0] = jnp.concatenate(
+                [rgb, dep, t_true, ncontrib,
+                 jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1,
+            )
+
+        return cur_t, t_naive, t_true, rgb, dep, ncontrib
 
     init = (
+        tb0,
+        jnp.ones((pix, 1), _f32),
         jnp.ones((pix, 1), _f32),
         jnp.zeros((pix, 3), _f32),
         jnp.zeros((pix, 1), _f32),
         jnp.zeros((pix, 1), _f32),
     )
-    t_run, rgb, dep, ncontrib = jax.lax.fori_loop(0, n_chunks, body, init)
-    out_ref[0] = jnp.concatenate(
-        [rgb, dep, t_run, ncontrib, jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1
-    )
+    jax.lax.fori_loop(cs0, cs1, body, init)
 
 
 # ---------------------------------------------------------------------------
@@ -196,67 +235,84 @@ def _fwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, out_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, fwd_ref,
-                gout_ref, dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int,
-                chunk: int, tile: int):
+def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
+                buf, dbuf, sems, wsems, *, grid_x: int, chunk: int,
+                tile: int, bt: int):
+    """Reverse sweep over the same contiguous chunk range of ``bt`` tiles."""
     pix = tile * tile
-    t = pl.program_id(0)
-    n_chunks = n_chunks_ref[t]
-    start = chunk_start_ref[t]
-    px, py = _pixel_coords(t + off_ref[0], grid_x, tile)
+    b = pl.program_id(0)
+    tb0 = b * bt
+    cs0 = cs_ref[tb0]
+    cs1 = cs_ref[tb0 + bt]
+    nk = cs1 - cs0
     _, incl_lower, strict_lower = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
+    ones_pix = jnp.ones((pix, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    fwd = fwd_ref[0]          # [PIX, OUT_CH]
-    gout = gout_ref[0]
-    t_final = fwd[:, 4:5]
-    ncontrib = fwd[:, 5:6]
-    g_rgb = gout[:, 0:3]      # [PIX, 3]
-    g_dep = gout[:, 3:4]
-    g_tfin = gout[:, 4:5]
-    kt = g_tfin * t_final     # [PIX, 1] T_N * dL/dT_N
-
-    def get_read_dma(slot, c):
+    def get_read_dma(slot, k):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds((start + c) * chunk, chunk)],
+            feat_hbm.at[:, pl.ds(k * chunk, chunk)],
             buf.at[slot],
             sems.at[slot],
         )
 
-    def get_write_dma(slot, c):
+    def get_write_dma(slot, k):
         return pltpu.make_async_copy(
             dbuf.at[slot],
-            dfeat_hbm.at[:, pl.ds((start + c) * chunk, chunk)],
+            dfeat_hbm.at[:, pl.ds(k * chunk, chunk)],
             wsems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    @pl.when(nk > 0)
     def _():
-        get_read_dma(0, n_chunks - 1).start()
+        get_read_dma(0, cs1 - 1).start()
 
     def body(i, carry):
-        t_run, s_run = carry          # T after chunk end; suffix sum of u
-        c = n_chunks - 1 - i
+        cur_t, t_run, s_run = carry   # T after chunk end; suffix sum of u
+        k = cs1 - 1 - i
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(c - 1 >= 0)
+        @pl.when(i + 1 < nk)
         def _():
-            get_read_dma(1 - slot, c - 1).start()
+            get_read_dma(1 - slot, k - 1).start()
 
-        get_read_dma(slot, c).wait()
+        # Reverse tile advance: move down while k is before cur_t's range.
+        cur_t = jax.lax.while_loop(
+            lambda t: k < cs_ref[t], lambda t: t - 1, cur_t
+        )
+        first = k == cs_ref[cur_t + 1] - 1   # first in REVERSE order
+
+        fwd = fwd_ref[cur_t - tb0]           # [PIX, OUT_CH]
+        gout = gout_ref[cur_t - tb0]
+        t_final = fwd[:, 4:5]
+        ncontrib = fwd[:, 5:6]
+        g_rgb = gout[:, 0:3]                 # [PIX, 3]
+        g_dep = gout[:, 3:4]
+        kt = gout[:, 4:5] * t_final          # [PIX, 1] T_N * dL/dT_N
+        gd = jnp.concatenate([g_rgb, g_dep], axis=1)   # [PIX, 4]
+
+        t_run = jnp.where(first, t_final, t_run)
+        s_run = jnp.where(first, 0.0, s_run)
+
+        px, py = _pixel_coords(cur_t + off_ref[0], grid_x, tile)
+
+        get_read_dma(slot, k).wait()
         feat = buf[slot]
 
-        alpha, alpha_raw, g, dx, dy, (ca, cb, cc, _) = _chunk_alpha(feat, px, py)
-        gpos = (c * chunk + lane).astype(_f32)
-        m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)   # contributor set
+        alpha, alpha_raw, g, dx, dy, (ca, cb, cc, _) = _chunk_alpha(
+            feat, px, py
+        )
+        gpos = ((k - cs_ref[cur_t]) * chunk + lane).astype(_f32)
+        m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)   # contributors
         am = alpha * m
         r = -jnp.log1p(-am)                                    # [PIX, C]
-        t_g = t_run * jnp.exp(_dot(r, incl_lower))             # T before each g
+        t_g = t_run * jnp.exp(_dot(r, incl_lower))             # T before g
         w = am * t_g
 
         colors = feat[5:8, :]
-        e = _dot(g_rgb, colors) + g_dep * feat[9:10, :]        # [PIX, C]
+        cd = jnp.concatenate([colors, feat[9:10, :]], axis=0)  # [4, C]
+        e = _dot(gd, cd)                                       # [PIX, C]
         u = w * e
         s_g = s_run + _dot(u, strict_lower)                    # strict suffix
         inv_1m = 1.0 / (1.0 - am)
@@ -264,19 +320,22 @@ def _bwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, fwd_ref,
 
         d_power = alpha_raw * d_alpha                          # [PIX, C]
 
+        # Six [PIX,C] integrands reduced over pixels, each contracted
+        # with ones on the MXU ([PIX,1]x[PIX,C] -> [1,C]); one at a time
+        # keeps the kernel's VMEM vector stack small (a stacked [PIX,6C]
+        # variant blew the 16MB scoped-vmem limit).
         def rowsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)           # [1, C]
+            return _dot_p(ones_pix, x)             # [1, C]
 
         d_mx = rowsum(-(ca * dx + cb * dy) * d_power)
         d_my = rowsum(-(cc * dy + cb * dx) * d_power)
         d_ca = rowsum(-0.5 * dx * dx * d_power)
         d_cb = rowsum(-dx * dy * d_power)
         d_cc = rowsum(-0.5 * dy * dy * d_power)
-        d_colors = _dot_p(g_rgb, w)                            # [3, C]
-        d_opr = rowsum(g * d_alpha)                            # [1, C]
-        d_depr = _dot_p(g_dep, w)                              # [1, C]
+        d_opr = rowsum(g * d_alpha)
+        d_cd = _dot_p(gd, w)                       # [4, C]: r,g,b,depth
         dfeat = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_colors, d_opr, d_depr,
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_cd[0:3], d_opr, d_cd[3:4],
              jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
             axis=0,
         )
@@ -285,26 +344,26 @@ def _bwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, fwd_ref,
 
         @pl.when(i >= 2)
         def _():
-            get_write_dma(wslot, c + 2).wait()
+            get_write_dma(wslot, k + 2).wait()
 
         dbuf[wslot] = dfeat
-        get_write_dma(wslot, c).start()
+        get_write_dma(wslot, k).start()
 
         t_run = t_run * jnp.exp(_dot(r, ones_c))
         s_run = s_run + _dot(u, ones_c)
-        return t_run, s_run
+        return cur_t, t_run, s_run
 
-    init = (t_final, jnp.zeros((pix, 1), _f32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    init = (tb0 + bt - 1, jnp.ones((pix, 1), _f32), jnp.zeros((pix, 1), _f32))
+    jax.lax.fori_loop(0, nk, body, init)
 
     # Drain outstanding writes.
-    @pl.when(n_chunks >= 1)
+    @pl.when(nk >= 1)
     def _():
-        get_write_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
+        get_write_dma(jax.lax.rem(nk - 1, 2), cs0).wait()
 
-    @pl.when(n_chunks >= 2)
+    @pl.when(nk >= 2)
     def _():
-        get_write_dma(jax.lax.rem(n_chunks - 2, 2), 1).wait()
+        get_write_dma(jax.lax.rem(nk - 2, 2), cs0 + 1).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -312,15 +371,36 @@ def _bwd_kernel(chunk_start_ref, n_chunks_ref, off_ref, feat_hbm, fwd_ref,
 # ---------------------------------------------------------------------------
 
 
+# The Mosaic scoped-vmem default (16 MB) is tight for the backward
+# kernel's vector stack (~15 [PIX,C] f32 temporaries at bt=8); raise it —
+# v5e has far more physical VMEM than the conservative default.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _blocks(num_tiles: int, bt: int) -> tuple[int, int]:
+    bt = min(bt, num_tiles)
+    return (num_tiles + bt - 1) // bt, bt
+
+
+def _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt):
+    """[T] starts -> [n_blocks*bt + 1] extended/padded tile starts."""
+    total = chunk_starts[num_tiles - 1] + n_chunks[num_tiles - 1]
+    pad = n_blocks * bt - num_tiles
+    return jnp.concatenate([
+        chunk_starts,
+        jnp.full((pad + 1,), total, jnp.int32),
+    ])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
+    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile", "bt")
 )
 def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
-                      *, grid_x, num_tiles, chunk, tile=TILE):
+                      *, grid_x, num_tiles, chunk, tile=TILE, bt=BT):
     """Run the forward tile kernel.
 
     dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated features.
@@ -329,49 +409,60 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
     pix = tile * tile
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
+    n_blocks, bt = _blocks(num_tiles, bt)
+    cs_ext = _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt)
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
-                               tile=tile)
+                               tile=tile, bt=bt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, pix, OUT_CH), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_ROWS, chunk), _f32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, pix, OUT_CH), _f32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * bt, pix, OUT_CH), _f32),
         interpret=_use_interpret(),
-    )(chunk_starts, n_chunks, tile_offset, dup_feat)
+        compiler_params=_COMPILER_PARAMS,
+    )(cs_ext, tile_offset, dup_feat)
+    return out[:num_tiles]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile")
+    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile", "bt")
 )
 def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
                        tile_offset=None, *, grid_x, num_tiles, chunk,
-                       tile=TILE):
+                       tile=TILE, bt=BT):
     """Run the backward tile kernel -> per-duplicate feature gradients."""
     pix = tile * tile
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
+    n_blocks, bt = _blocks(num_tiles, bt)
+    cs_ext = _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
-                               tile=tile)
+                               tile=tile, bt=bt)
     k_aligned = dup_feat.shape[1]
+    pad_tiles = n_blocks * bt - num_tiles
+    if pad_tiles:
+        fwd_out = jnp.pad(fwd_out, ((0, pad_tiles), (0, 0), (0, 0)))
+        g_out = jnp.pad(g_out, ((0, pad_tiles), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, pix, OUT_CH), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pix, OUT_CH), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -387,5 +478,6 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_aligned), _f32),
         interpret=_use_interpret(),
-    )(chunk_starts, n_chunks, tile_offset, dup_feat, fwd_out, g_out)
+        compiler_params=_COMPILER_PARAMS,
+    )(cs_ext, tile_offset, dup_feat, fwd_out, g_out)
     return out

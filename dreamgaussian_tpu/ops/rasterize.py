@@ -132,6 +132,35 @@ def _dup_gather_bwd(res, g):
 _dup_gather.defvjp(_dup_gather_fwd, _dup_gather_bwd)
 
 
+def build_feature_cols(mean2d, depth, conic, color, opacity):
+    """Raw per-gaussian feature rows [FEAT_ROWS, N+1] for the kernels.
+
+    Layout (rasterize_pallas.py): mean2d, conic, LOG-opacity (the kernel
+    evaluates power + log(op) as one MXU quadratic form and exponentiates
+    once), colors, depth. Gradients chain back through this jnp math by
+    autodiff. Column N is the inert sentinel targeted by unused duplicate
+    slots (log_opacity = -1e10 => alpha exactly 0, no NaNs).
+    """
+    from .rasterize_pallas import Q_SENTINEL
+
+    n = mean2d.shape[0]
+    log_op = jnp.log(
+        jnp.maximum(opacity.astype(jnp.float32), 1e-30)
+    ).reshape(1, n)
+    rows = jnp.concatenate(
+        [
+            mean2d.T.astype(jnp.float32),            # 0:2
+            conic.T.astype(jnp.float32),             # 2:5
+            log_op,                                  # 5
+            color.T.astype(jnp.float32),             # 6:9
+            depth.reshape(1, n).astype(jnp.float32),    # 9
+        ],
+        axis=0,
+    )
+    feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
+    return feat_cols.at[5, n].set(Q_SENTINEL)
+
+
 def rasterize_projected(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -169,17 +198,7 @@ def rasterize_projected(
         chunk=chunk, tile=tile,
     )
 
-    rows = jnp.concatenate(
-        [
-            mean2d.T.astype(jnp.float32),            # 0:2
-            conic.T.astype(jnp.float32),             # 2:5
-            color.T.astype(jnp.float32),             # 5:8
-            opacity.reshape(1, n).astype(jnp.float32),  # 8
-            depth.reshape(1, n).astype(jnp.float32),    # 9
-        ],
-        axis=0,
-    )
-    feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
+    feat_cols = build_feature_cols(mean2d, depth, conic, color, opacity)
 
     dup_feat = _dup_gather(
         feat_cols, bins.dup_map, bins.gather_map, bins.big_src,

@@ -8,6 +8,17 @@ than a translation of the CUDA warp model:
 - **Pixels live on sublanes, gaussians on lanes.** Each tile is a
   tile*tile-row vector; a chunk of ``C`` depth-sorted gaussians is a
   [PIX, C] problem. All per-pair math is VPU-friendly broadcasting.
+- **The exponent is a quadratic form evaluated on the MXU.** Instead of
+  per-pair dx/dy/conic arithmetic (the VPU was the measured bottleneck),
+  the kernel builds per-chunk the coefficients of
+  ``power + log(opacity) = q0 + qx*x + qy*y + qxx*x^2 + qxy*x*y + qyy*y^2``
+  in TILE-CENTER-relative coordinates (a dozen [1,C] row ops from the raw
+  mean/conic/log-opacity features — means relative to the tile center
+  stay O(tile + 3 sigma), so the form is well-conditioned in f32) and
+  computes all pairs as ``P6 @ Q`` — a [PIX,6]x[6,C] matmul against
+  per-pixel monomials. alpha follows as one exp; the CUDA skip rules
+  become two compares (``power > 0``  <=>  powero > log_op;
+  ``alpha < 1/255``  <=>  powero < log(1/255)).
 - **Front-to-back compositing without a sequential loop.** The CUDA kernel
   walks gaussians one-by-one per pixel. Here the exclusive prefix product
   of transmittance inside a chunk is computed as ``exp(log1p(-alpha) @
@@ -17,25 +28,25 @@ than a translation of the CUDA warp model:
   pushes below TERM_EPS for every successor — the contributor set is just
   ``alpha>0 and t_naive*(1-alpha) >= TERM_EPS`` (matches the dense oracle
   in rasterize_ref.py exactly). Color/depth accumulation is another
-  [PIX,C]x[C,3] matmul.
-- **Many tiles per grid step.** Per-grid-step fixed cost on TPU is
-  ~10-15 us; with one 32px tile per step that overhead dominated the whole
-  kernel (measured ~3 ms fixed for 256 steps at 512^2 vs <1 ms of real
-  compute). The chunk-aligned duplicate lists of consecutive tiles are
-  CONTIGUOUS in the aligned array (binning lays tiles out back-to-back),
-  so each grid step streams the combined chunk range of ``bt`` tiles with
-  one double-buffered DMA pipeline, advancing the current tile by
-  comparing the chunk index against the prefetched tile starts.
-- **Backward is a reverse chunk sweep** reconstructing per-gaussian
-  transmittance from the stored final T (the CUDA back-to-front division
-  trick, vectorized as an inclusive-suffix triangular matmul) and the
-  stored per-pixel contributor count; per-duplicate gradients are written
-  back to HBM and reduced to per-gaussian gradients by gather outside the
-  kernel.
+  [PIX,C]x[C,4] matmul.
+- **Many tiles per grid step.** The chunk-aligned duplicate lists of
+  consecutive tiles are CONTIGUOUS in the aligned array (binning lays
+  tiles out back-to-back), so each grid step streams the combined chunk
+  range of ``bt`` tiles with one double-buffered DMA pipeline, advancing
+  the current tile by comparing the chunk index against the prefetched
+  tile starts.
+- **The backward geometric gradient is one matmul.** d(powero) per pair
+  chains to the local quadratic coefficients as exactly ``P6^T @
+  d_powero`` ([6,C]), then to mean/conic/log-opacity with per-chunk row
+  math — no per-pair dx/dy products and no sublane reductions.
+  Per-duplicate gradients are written back to HBM and reduced to
+  per-gaussian gradients by gather outside the kernel.
 
 Feature/gradient row layout (FEAT_ROWS x K_aligned, f32):
-  0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
-  5 color_r, 6 color_g, 7 color_b, 8 opacity, 9 depth, 10..15 pad.
+  0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 log_opacity,
+  6 color_r, 7 color_g, 8 color_b, 9 depth, 10..15 pad.
+The padding/sentinel feature column must have log_opacity <= -1e10
+(=> alpha 0 without NaNs).
 
 Forward per-tile output layout ([T, PIX, OUT_CH]):
   0..2 rgb (premultiplied, no background), 3 depth, 4 T_final,
@@ -45,6 +56,7 @@ Forward per-tile output layout ([T, PIX, OUT_CH]):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +69,9 @@ FEAT_ROWS = 16
 OUT_CH = 8
 TERM_EPS = 1e-4
 ALPHA_SKIP = 1.0 / 255.0
+LOG_ALPHA_SKIP = math.log(ALPHA_SKIP)
 ALPHA_MAX = 0.99
+Q_SENTINEL = -1e10        # log_opacity of padding slots (alpha == 0, no NaNs)
 BT = 8                    # tiles per grid step (fixed-overhead amortization)
 
 _f32 = jnp.float32
@@ -86,33 +100,59 @@ def _dot_p(a, b):
     )
 
 
-def _pixel_coords(tile_id, grid_x, tile):
-    """Pixel centers of tile `tile_id` as [tile*tile, 1] columns (x, y)."""
+def _tile_center(tile_id, grid_x, tile):
+    """Tile-center reference point (cx, cy) for local coordinates."""
     ty = tile_id // grid_x
     tx = tile_id - ty * grid_x
-    pid = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
-    px = (tx * tile + pid % tile).astype(_f32)
-    py = (ty * tile + pid // tile).astype(_f32)
-    return px, py
+    half = (tile - 1) / 2.0
+    return (tx * tile).astype(_f32) + half, (ty * tile).astype(_f32) + half
 
 
-def _chunk_alpha(feat, px, py):
-    """Per-(pixel, gaussian) alpha for one chunk.
+def _local_monomials(tile: int):
+    """P6 [PIX, 6]: (1, x, y, x^2, x*y, y^2) at tile-CENTER-relative
+    pixel centers (|x|,|y| <= (tile-1)/2 keeps the form well-conditioned)."""
+    pix = tile * tile
+    pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    half = (tile - 1) / 2.0
+    x = (pid % tile).astype(_f32) - half
+    y = (pid // tile).astype(_f32) - half
+    one = jnp.ones((pix, 1), _f32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=1)
 
-    feat: [FEAT_ROWS, C]; returns alpha (masked, clamped), alpha_raw,
-    exp(power), and the diffs/conics needed by the backward pass.
+
+def _local_q(feat, cx, cy):
+    """Local quadratic coefficients from raw features ([1,C] row math).
+
+    Returns (Q [6,C], mx_l, my_l, qx_l, qy_l) where
+    powero(xl, yl) = q0 + qx*xl + qy*yl + qxx*xl^2 + qxy*xl*yl + qyy*yl^2
+    in tile-center-relative coordinates (xl = x - cx).
     """
-    mx, my = feat[0:1, :], feat[1:2, :]
+    mx_l = feat[0:1, :] - cx
+    my_l = feat[1:2, :] - cy
     ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
-    op = feat[8:9, :]
-    dx = mx - px    # [PIX, C]
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    g = jnp.exp(power)
-    alpha_raw = op * g
-    skip = (power > 0.0) | (alpha_raw < ALPHA_SKIP)
+    log_op = feat[5:6, :]
+    qx_l = ca * mx_l + cb * my_l
+    qy_l = cc * my_l + cb * mx_l
+    q0_l = -0.5 * (mx_l * qx_l + my_l * qy_l) + log_op
+    q = jnp.concatenate(
+        [q0_l, qx_l, qy_l, -0.5 * ca, -cb, -0.5 * cc], axis=0
+    )
+    return q, mx_l, my_l, qx_l, qy_l
+
+
+def _chunk_alpha(feat, p6, cx, cy):
+    """Per-(pixel, gaussian) alpha for one chunk via the MXU quadratic form.
+
+    Returns (alpha, alpha_raw, aux-for-backward) with the CUDA skip rules
+    and 0.99 clamp applied; alpha_raw = opacity * exp(power) = exp(powero).
+    """
+    q, mx_l, my_l, qx_l, qy_l = _local_q(feat, cx, cy)
+    powero = _dot(p6, q)                               # [PIX, C]
+    log_op = feat[5:6, :]
+    alpha_raw = jnp.exp(powero)
+    skip = (powero > log_op) | (powero < LOG_ALPHA_SKIP)
     alpha = jnp.where(skip, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
-    return alpha, alpha_raw, g, dx, dy, (ca, cb, cc, op)
+    return alpha, alpha_raw, (mx_l, my_l, qx_l, qy_l)
 
 
 def _tri_masks(c):
@@ -144,6 +184,7 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
     strict_upper, _, _ = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    p6 = _local_monomials(tile)
 
     # Empty tiles never store: initialize the whole block to the empty
     # result (T=1, everything else 0).
@@ -167,7 +208,7 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         # t_naive: prefix product of (1-alpha) over ALL gaussians so far,
         # ignoring the early-stop rule; t_true: product over contributors
         # only (the CUDA T_final — the trigger does not multiply in).
-        cur_t, t_naive, t_true, rgb, dep, ncontrib = carry
+        cur_t, t_naive, t_true, rgb_d, ncontrib = carry
         slot = jax.lax.rem(k - cs0, 2)
 
         @pl.when(k + 1 < cs1)
@@ -182,24 +223,22 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         is_last = k == cs_ref[cur_t + 1] - 1
         t_naive = jnp.where(first, 1.0, t_naive)
         t_true = jnp.where(first, 1.0, t_true)
-        rgb = jnp.where(first, 0.0, rgb)
-        dep = jnp.where(first, 0.0, dep)
+        rgb_d = jnp.where(first, 0.0, rgb_d)
         ncontrib = jnp.where(first, 0.0, ncontrib)
 
-        px, py = _pixel_coords(cur_t + off_ref[0], grid_x, tile)
+        cx, cy = _tile_center(cur_t + off_ref[0], grid_x, tile)
 
         get_dma(slot, k).wait()
         feat = buf[slot]
 
-        alpha, _, _, _, _, _ = _chunk_alpha(feat, px, py)
+        alpha, _, _ = _chunk_alpha(feat, p6, cx, cy)
         lg = jnp.log1p(-alpha)
         t_g = t_naive * jnp.exp(_dot(lg, strict_upper))    # naive T before g
         m = ((t_g * (1.0 - alpha) >= TERM_EPS) & (alpha > 0.0)).astype(_f32)
         w = alpha * t_g * m
 
-        colors = feat[5:8, :]                               # [3, C]
-        rgb = rgb + _dot_t(w, colors)                       # [PIX, 3]
-        dep = dep + _dot_t(w, feat[9:10, :])                # [PIX, 1]
+        cd = feat[6:10, :]                                  # [4, C] rgb+depth
+        rgb_d = rgb_d + _dot_t(w, cd)                       # [PIX, 4]
 
         gpos = ((k - cs_ref[cur_t]) * chunk + lane + 1).astype(_f32)
         ncontrib = jnp.maximum(
@@ -213,18 +252,17 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         @pl.when(is_last)
         def _():
             out_ref[cur_t - tb0] = jnp.concatenate(
-                [rgb, dep, t_true, ncontrib,
+                [rgb_d, t_true, ncontrib,
                  jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1,
             )
 
-        return cur_t, t_naive, t_true, rgb, dep, ncontrib
+        return cur_t, t_naive, t_true, rgb_d, ncontrib
 
     init = (
         tb0,
         jnp.ones((pix, 1), _f32),
         jnp.ones((pix, 1), _f32),
-        jnp.zeros((pix, 3), _f32),
-        jnp.zeros((pix, 1), _f32),
+        jnp.zeros((pix, 4), _f32),
         jnp.zeros((pix, 1), _f32),
     )
     jax.lax.fori_loop(cs0, cs1, body, init)
@@ -247,8 +285,8 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
     nk = cs1 - cs0
     _, incl_lower, strict_lower = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
-    ones_pix = jnp.ones((pix, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    p6 = _local_monomials(tile)
 
     def get_read_dma(slot, k):
         return pltpu.make_async_copy(
@@ -287,21 +325,19 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         gout = gout_ref[cur_t - tb0]
         t_final = fwd[:, 4:5]
         ncontrib = fwd[:, 5:6]
-        g_rgb = gout[:, 0:3]                 # [PIX, 3]
-        g_dep = gout[:, 3:4]
+        gd = gout[:, 0:4]                    # [PIX, 4] d rgb+depth
         kt = gout[:, 4:5] * t_final          # [PIX, 1] T_N * dL/dT_N
-        gd = jnp.concatenate([g_rgb, g_dep], axis=1)   # [PIX, 4]
 
         t_run = jnp.where(first, t_final, t_run)
         s_run = jnp.where(first, 0.0, s_run)
 
-        px, py = _pixel_coords(cur_t + off_ref[0], grid_x, tile)
+        cx, cy = _tile_center(cur_t + off_ref[0], grid_x, tile)
 
         get_read_dma(slot, k).wait()
         feat = buf[slot]
 
-        alpha, alpha_raw, g, dx, dy, (ca, cb, cc, _) = _chunk_alpha(
-            feat, px, py
+        alpha, alpha_raw, (mx_l, my_l, qx_l, qy_l) = _chunk_alpha(
+            feat, p6, cx, cy
         )
         gpos = ((k - cs_ref[cur_t]) * chunk + lane).astype(_f32)
         m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)   # contributors
@@ -310,32 +346,29 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         t_g = t_run * jnp.exp(_dot(r, incl_lower))             # T before g
         w = am * t_g
 
-        colors = feat[5:8, :]
-        cd = jnp.concatenate([colors, feat[9:10, :]], axis=0)  # [4, C]
+        cd = feat[6:10, :]                                     # [4, C]
         e = _dot(gd, cd)                                       # [PIX, C]
         u = w * e
         s_g = s_run + _dot(u, strict_lower)                    # strict suffix
         inv_1m = 1.0 / (1.0 - am)
         d_alpha = m * (e * t_g - (s_g + kt) * inv_1m)
+        d_powero = alpha_raw * d_alpha                         # [PIX, C]
 
-        d_power = alpha_raw * d_alpha                          # [PIX, C]
-
-        # Six [PIX,C] integrands reduced over pixels, each contracted
-        # with ones on the MXU ([PIX,1]x[PIX,C] -> [1,C]); one at a time
-        # keeps the kernel's VMEM vector stack small (a stacked [PIX,6C]
-        # variant blew the 16MB scoped-vmem limit).
-        def rowsum(x):
-            return _dot_p(ones_pix, x)             # [1, C]
-
-        d_mx = rowsum(-(ca * dx + cb * dy) * d_power)
-        d_my = rowsum(-(cc * dy + cb * dx) * d_power)
-        d_ca = rowsum(-0.5 * dx * dx * d_power)
-        d_cb = rowsum(-dx * dy * d_power)
-        d_cc = rowsum(-0.5 * dy * dy * d_power)
-        d_opr = rowsum(g * d_alpha)
-        d_cd = _dot_p(gd, w)                       # [4, C]: r,g,b,depth
+        # d w.r.t. the LOCAL quadratic coefficients is exactly P6^T @
+        # d_powero ([6,C] matmul); chain to mean/conic/log-opacity with
+        # per-chunk [1,C] row math (the analytic partials of _local_q).
+        s_l = _dot_p(p6, d_powero)                             # [6, C]
+        s0, s1, s2 = s_l[0:1], s_l[1:2], s_l[2:3]
+        s3, s4, s5 = s_l[3:4], s_l[4:5], s_l[5:6]
+        ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
+        d_mx = -qx_l * s0 + ca * s1 + cb * s2
+        d_my = -qy_l * s0 + cb * s1 + cc * s2
+        d_ca = -0.5 * mx_l * mx_l * s0 + mx_l * s1 - 0.5 * s3
+        d_cb = -mx_l * my_l * s0 + my_l * s1 + mx_l * s2 - s4
+        d_cc = -0.5 * my_l * my_l * s0 + my_l * s2 - 0.5 * s5
+        d_cd = _dot_p(gd, w)                                   # [4, C]
         dfeat = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_cd[0:3], d_opr, d_cd[3:4],
+            [d_mx, d_my, d_ca, d_cb, d_cc, s0, d_cd,
              jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
             axis=0,
         )
@@ -403,8 +436,8 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
                       *, grid_x, num_tiles, chunk, tile=TILE, bt=BT):
     """Run the forward tile kernel.
 
-    dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated features.
-    Returns [num_tiles, tile*tile, OUT_CH].
+    dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated quadratic
+    features. Returns [num_tiles, tile*tile, OUT_CH].
     """
     pix = tile * tile
     if tile_offset is None:

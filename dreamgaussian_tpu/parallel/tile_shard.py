@@ -29,8 +29,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.binning import TILE, bin_gaussians
 from ..ops.project import project_gaussians
-from ..ops.rasterize import GaussianRender, _composite, _dup_gather
-from ..ops.rasterize_pallas import FEAT_ROWS, OUT_CH
+from ..ops.rasterize import (
+    GaussianRender,
+    _composite,
+    _dup_gather,
+    build_feature_cols,
+)
+from ..ops.rasterize_pallas import OUT_CH
 
 
 def rasterize_projected_tile_sharded(
@@ -68,17 +73,7 @@ def rasterize_projected_tile_sharded(
         max_tiles=max_tiles, chunk=chunk, tile=tile,
     )
 
-    rows = jnp.concatenate(
-        [
-            mean2d.T.astype(jnp.float32),
-            conic.T.astype(jnp.float32),
-            color.T.astype(jnp.float32),
-            opacity.reshape(1, n).astype(jnp.float32),
-            depth.reshape(1, n).astype(jnp.float32),
-        ],
-        axis=0,
-    )
-    feat_cols = jnp.pad(rows, ((0, FEAT_ROWS - rows.shape[0]), (0, 1)))
+    feat_cols = build_feature_cols(mean2d, depth, conic, color, opacity)
     dup_feat = _dup_gather(
         feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
         bins.big_gather,

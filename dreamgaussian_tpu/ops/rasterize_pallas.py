@@ -8,16 +8,16 @@ than a translation of the CUDA warp model:
 - **Pixels live on sublanes, gaussians on lanes.** Each tile is a
   tile*tile-row vector; a chunk of ``C`` depth-sorted gaussians is a
   [PIX, C] problem. All per-pair math is VPU-friendly broadcasting.
-- **The exponent is a quadratic form evaluated on the MXU.** Instead of
-  per-pair dx/dy/conic arithmetic (the VPU was the measured bottleneck),
-  the kernel builds per-chunk the coefficients of
+- **The exponent is a quadratic form in tile-local coordinates.** The
+  kernel builds per-chunk the coefficients of
   ``power + log(opacity) = q0 + qx*x + qy*y + qxx*x^2 + qxy*x*y + qyy*y^2``
   in TILE-CENTER-relative coordinates (a dozen [1,C] row ops from the raw
   mean/conic/log-opacity features — means relative to the tile center
   stay O(tile + 3 sigma), so the form is well-conditioned in f32) and
-  computes all pairs as ``P6 @ Q`` — a [PIX,6]x[6,C] matmul against
-  per-pixel monomials. alpha follows as one exp; the CUDA skip rules
-  become two compares (``power > 0``  <=>  powero > log_op;
+  evaluates all pairs as 5 VPU broadcast-fmas of [PIX,1] monomial columns
+  against the [1,C] coefficient rows (see _chunk_alpha for why not a
+  [PIX,6]x[6,C] MXU matmul). alpha follows as one exp; the CUDA skip
+  rules become two compares (``power > 0``  <=>  powero > log_op;
   ``alpha < 1/255``  <=>  powero < log(1/255)).
 - **Front-to-back compositing without a sequential loop.** The CUDA kernel
   walks gaussians one-by-one per pixel. Here the exclusive prefix product
@@ -110,7 +110,8 @@ def _tile_center(tile_id, grid_x, tile):
 
 def _local_monomials(tile: int):
     """P6 [PIX, 6]: (1, x, y, x^2, x*y, y^2) at tile-CENTER-relative
-    pixel centers (|x|,|y| <= (tile-1)/2 keeps the form well-conditioned)."""
+    pixel centers (|x|,|y| <= (tile-1)/2 keeps the form well-conditioned).
+    Used by the BACKWARD's s_l = P6^T @ d_powero contraction."""
     pix = tile * tile
     pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     half = (tile - 1) / 2.0
@@ -120,13 +121,34 @@ def _local_monomials(tile: int):
     return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=1)
 
 
-def _local_q(feat, cx, cy):
-    """Local quadratic coefficients from raw features ([1,C] row math).
+def _monomial_cols(tile: int):
+    """Per-pixel monomial COLUMNS for the forward fma evaluation:
+    (x, y, -x^2/2, -x*y, -y^2/2) as [PIX, 1], tile-center-relative.
+    The quadratic terms carry the -1/2 / -1 coefficient folds so the
+    evaluation is 5 broadcast-fmas against raw conic rows."""
+    pix = tile * tile
+    pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    half = (tile - 1) / 2.0
+    x = (pid % tile).astype(_f32) - half
+    y = (pid // tile).astype(_f32) - half
+    return x, y, -0.5 * x * x, -(x * y), -0.5 * y * y
 
-    Returns (Q [6,C], mx_l, my_l, qx_l, qy_l) where
-    powero(xl, yl) = q0 + qx*xl + qy*yl + qxx*xl^2 + qxy*xl*yl + qyy*yl^2
-    in tile-center-relative coordinates (xl = x - cx).
+
+def _chunk_alpha(feat, mono, cx, cy):
+    """Per-(pixel, gaussian) alpha for one chunk.
+
+    powero = power + log(opacity) is a quadratic form in tile-CENTER-
+    relative coordinates; evaluated as 5 VPU broadcast-fmas of [PIX,1]
+    monomial columns against [1,C] coefficient rows. (A [PIX,6]x[6,C]
+    MXU matmul was measurably ~20x SLOWER: Mosaic pads the size-6
+    contraction to a full 128-pass.) Exact f32; the CUDA skip rules
+    become two compares (``power > 0`` <=> powero > log_op;
+    ``alpha < 1/255`` <=> powero < log(1/255)).
+
+    Returns (alpha, alpha_raw, aux-for-backward) with the skip rules and
+    0.99 clamp applied; alpha_raw = opacity * exp(power) = exp(powero).
     """
+    x, y, nxx, nxy, nyy = mono
     mx_l = feat[0:1, :] - cx
     my_l = feat[1:2, :] - cy
     ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
@@ -134,21 +156,9 @@ def _local_q(feat, cx, cy):
     qx_l = ca * mx_l + cb * my_l
     qy_l = cc * my_l + cb * mx_l
     q0_l = -0.5 * (mx_l * qx_l + my_l * qy_l) + log_op
-    q = jnp.concatenate(
-        [q0_l, qx_l, qy_l, -0.5 * ca, -cb, -0.5 * cc], axis=0
+    powero = (
+        (q0_l + x * qx_l) + (y * qy_l + nxx * ca) + (nxy * cb + nyy * cc)
     )
-    return q, mx_l, my_l, qx_l, qy_l
-
-
-def _chunk_alpha(feat, p6, cx, cy):
-    """Per-(pixel, gaussian) alpha for one chunk via the MXU quadratic form.
-
-    Returns (alpha, alpha_raw, aux-for-backward) with the CUDA skip rules
-    and 0.99 clamp applied; alpha_raw = opacity * exp(power) = exp(powero).
-    """
-    q, mx_l, my_l, qx_l, qy_l = _local_q(feat, cx, cy)
-    powero = _dot(p6, q)                               # [PIX, C]
-    log_op = feat[5:6, :]
     alpha_raw = jnp.exp(powero)
     skip = (powero > log_op) | (powero < LOG_ALPHA_SKIP)
     alpha = jnp.where(skip, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
@@ -184,7 +194,7 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
     strict_upper, _, _ = _tri_masks(chunk)
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    p6 = _local_monomials(tile)
+    mono = _monomial_cols(tile)
 
     # Empty tiles never store: initialize the whole block to the empty
     # result (T=1, everything else 0).
@@ -231,7 +241,7 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         get_dma(slot, k).wait()
         feat = buf[slot]
 
-        alpha, _, _ = _chunk_alpha(feat, p6, cx, cy)
+        alpha, _, _ = _chunk_alpha(feat, mono, cx, cy)
         lg = jnp.log1p(-alpha)
         t_g = t_naive * jnp.exp(_dot(lg, strict_upper))    # naive T before g
         m = ((t_g * (1.0 - alpha) >= TERM_EPS) & (alpha > 0.0)).astype(_f32)
@@ -275,7 +285,7 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
 
 def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
                 buf, dbuf, sems, wsems, *, grid_x: int, chunk: int,
-                tile: int, bt: int):
+                tile: int, bt: int, skip_dead: bool = True):
     """Reverse sweep over the same contiguous chunk range of ``bt`` tiles."""
     pix = tile * tile
     b = pl.program_id(0)
@@ -287,6 +297,7 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
     ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     p6 = _local_monomials(tile)
+    mono = _monomial_cols(tile)
 
     def get_read_dma(slot, k):
         return pltpu.make_async_copy(
@@ -336,42 +347,64 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         get_read_dma(slot, k).wait()
         feat = buf[slot]
 
-        alpha, alpha_raw, (mx_l, my_l, qx_l, qy_l) = _chunk_alpha(
-            feat, p6, cx, cy
-        )
-        gpos = ((k - cs_ref[cur_t]) * chunk + lane).astype(_f32)
-        m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)   # contributors
-        am = alpha * m
-        r = -jnp.log1p(-am)                                    # [PIX, C]
-        t_g = t_run * jnp.exp(_dot(r, incl_lower))             # T before g
-        w = am * t_g
+        def live_chunk(feat, gd, kt, t_run, s_run):
+            alpha, alpha_raw, (mx_l, my_l, qx_l, qy_l) = _chunk_alpha(
+                feat, mono, cx, cy
+            )
+            gpos = ((k - cs_ref[cur_t]) * chunk + lane).astype(_f32)
+            m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)  # contribs
+            am = alpha * m
+            r = -jnp.log1p(-am)                                # [PIX, C]
+            t_g = t_run * jnp.exp(_dot(r, incl_lower))         # T before g
+            w = am * t_g
 
-        cd = feat[6:10, :]                                     # [4, C]
-        e = _dot(gd, cd)                                       # [PIX, C]
-        u = w * e
-        s_g = s_run + _dot(u, strict_lower)                    # strict suffix
-        inv_1m = 1.0 / (1.0 - am)
-        d_alpha = m * (e * t_g - (s_g + kt) * inv_1m)
-        d_powero = alpha_raw * d_alpha                         # [PIX, C]
+            cd = feat[6:10, :]                                 # [4, C]
+            e = _dot(gd, cd)                                   # [PIX, C]
+            u = w * e
+            s_g = s_run + _dot(u, strict_lower)                # strict suffix
+            inv_1m = 1.0 / (1.0 - am)
+            d_alpha = m * (e * t_g - (s_g + kt) * inv_1m)
+            d_powero = alpha_raw * d_alpha                     # [PIX, C]
 
-        # d w.r.t. the LOCAL quadratic coefficients is exactly P6^T @
-        # d_powero ([6,C] matmul); chain to mean/conic/log-opacity with
-        # per-chunk [1,C] row math (the analytic partials of _local_q).
-        s_l = _dot_p(p6, d_powero)                             # [6, C]
-        s0, s1, s2 = s_l[0:1], s_l[1:2], s_l[2:3]
-        s3, s4, s5 = s_l[3:4], s_l[4:5], s_l[5:6]
-        ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
-        d_mx = -qx_l * s0 + ca * s1 + cb * s2
-        d_my = -qy_l * s0 + cb * s1 + cc * s2
-        d_ca = -0.5 * mx_l * mx_l * s0 + mx_l * s1 - 0.5 * s3
-        d_cb = -mx_l * my_l * s0 + my_l * s1 + mx_l * s2 - s4
-        d_cc = -0.5 * my_l * my_l * s0 + my_l * s2 - 0.5 * s5
-        d_cd = _dot_p(gd, w)                                   # [4, C]
-        dfeat = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, s0, d_cd,
-             jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
-            axis=0,
-        )
+            # d w.r.t. the LOCAL quadratic coefficients is exactly P6^T @
+            # d_powero ([6,C] matmul); chain to mean/conic/log-opacity with
+            # per-chunk [1,C] row math (the analytic partials of _local_q).
+            s_l = _dot_p(p6, d_powero)                         # [6, C]
+            s0, s1, s2 = s_l[0:1], s_l[1:2], s_l[2:3]
+            s3, s4, s5 = s_l[3:4], s_l[4:5], s_l[5:6]
+            ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
+            d_mx = -qx_l * s0 + ca * s1 + cb * s2
+            d_my = -qy_l * s0 + cb * s1 + cc * s2
+            d_ca = -0.5 * mx_l * mx_l * s0 + mx_l * s1 - 0.5 * s3
+            d_cb = -mx_l * my_l * s0 + my_l * s1 + mx_l * s2 - s4
+            d_cc = -0.5 * my_l * my_l * s0 + my_l * s2 - 0.5 * s5
+            d_cd = _dot_p(gd, w)                               # [4, C]
+            dfeat = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, s0, d_cd,
+                 jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
+                axis=0,
+            )
+            t_run_n = t_run * jnp.exp(_dot(r, ones_c))
+            s_run_n = s_run + _dot(u, ones_c)
+            return dfeat, t_run_n, s_run_n
+
+        def dead_chunk(feat, gd, kt, t_run, s_run):
+            return jnp.zeros((FEAT_ROWS, chunk), _f32), t_run, s_run
+
+        # Chunk-granular early termination (CUDA-style): a chunk whose
+        # smallest gaussian position is at or past every pixel's last
+        # contributor has m == 0 everywhere => zero gradients and
+        # unchanged running products (r == 0, u == 0). The zero dfeat is
+        # still written (dfeat_hbm is uninitialized).
+        if skip_dead:
+            dfeat, t_run, s_run = jax.lax.cond(
+                (k - cs_ref[cur_t]).astype(_f32) * chunk < jnp.max(ncontrib),
+                live_chunk,
+                dead_chunk,
+                feat, gd, kt, t_run, s_run,
+            )
+        else:
+            dfeat, t_run, s_run = live_chunk(feat, gd, kt, t_run, s_run)
 
         wslot = jax.lax.rem(i, 2)
 
@@ -382,8 +415,6 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         dbuf[wslot] = dfeat
         get_write_dma(wslot, k).start()
 
-        t_run = t_run * jnp.exp(_dot(r, ones_c))
-        s_run = s_run + _dot(u, ones_c)
         return cur_t, t_run, s_run
 
     init = (tb0 + bt - 1, jnp.ones((pix, 1), _f32), jnp.zeros((pix, 1), _f32))
@@ -470,11 +501,13 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile", "bt")
+    jax.jit,
+    static_argnames=("grid_x", "num_tiles", "chunk", "tile", "bt",
+                     "skip_dead"),
 )
 def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
                        tile_offset=None, *, grid_x, num_tiles, chunk,
-                       tile=TILE, bt=BT):
+                       tile=TILE, bt=BT, skip_dead=True):
     """Run the backward tile kernel -> per-duplicate feature gradients."""
     pix = tile * tile
     if tile_offset is None:
@@ -482,7 +515,7 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
     n_blocks, bt = _blocks(num_tiles, bt)
     cs_ext = _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
-                               tile=tile, bt=bt)
+                               tile=tile, bt=bt, skip_dead=skip_dead)
     k_aligned = dup_feat.shape[1]
     pad_tiles = n_blocks * bt - num_tiles
     if pad_tiles:

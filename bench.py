@@ -7,11 +7,13 @@ Measures:
 - **Per-rung s/iter and rays/s** of the fused scan-step trainer at each
   rung of the resolution ladder (128/256/512, capacity 8192, known view
   256) in steady state, and the projected 500-iteration wall-clock.
-- Guidance: by default the tiny fake zero123 (no real weights ship in
-  this image) — the projection is then labeled ``render_side_only`` and
-  excludes the real UNet+VAE cost. Point ``DG_ZERO123_CKPT`` at a
-  diffusers-format zero123 snapshot to measure the REAL north-star
-  workload (full SDS through the converted Flax UNet/VAE).
+- Guidance: by default the REAL zero123 ARCHITECTURE with random
+  weights (guidance/realarch.py) — the full 8-ch 860M-param UNet + KL
+  VAE evaluated every iteration, FLOP-exact to the real north-star
+  workload (no pretrained weights ship in this image; only the weight
+  VALUES differ). Point ``DG_ZERO123_CKPT`` at a diffusers-format
+  snapshot to use converted real weights; set
+  ``DG_BENCH_GUIDANCE=fake`` for the render-side-only tiny denoiser.
 
 One-time costs (first-call executable upload, trainer init) are excluded
 — they amortize across assets in batch use and vanish on non-tunneled
@@ -87,7 +89,15 @@ def bench_rasterizer(iters: int = 30):
 
 
 def build_guidance():
-    """Real zero123 if DG_ZERO123_CKPT points at a snapshot, else fake."""
+    """North-star guidance for the bench, by decreasing fidelity:
+
+    - DG_ZERO123_CKPT set -> REAL zero123 (converted weights).
+    - default -> real ARCHITECTURE, random weights: the full 8-ch
+      860M-param UNet + KL-VAE (guidance/realarch.py). FLOP-exact to the
+      real workload — only the weight VALUES differ — so the headline
+      projection measures the true per-iteration cost of zero123 SDS.
+    - DG_BENCH_GUIDANCE=fake -> tiny fake denoiser (render-side only).
+    """
     ckpt = os.environ.get("DG_ZERO123_CKPT")
     if ckpt and os.path.isdir(ckpt):
         from PIL import Image
@@ -101,6 +111,13 @@ def build_guidance():
         ).astype(np.float32) / 255.0
         rgb = img[..., :3] * img[..., 3:4] + (1 - img[..., 3:4])
         return load_zero123(ckpt, ref_image=rgb), "zero123_real"
+    if os.environ.get("DG_BENCH_GUIDANCE", "realarch") == "realarch":
+        from dreamgaussian_tpu.guidance.realarch import (
+            random_zero123_guidance,
+        )
+
+        return (random_zero123_guidance(),
+                "zero123_real_architecture_random_weights")
     from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
 
     return fake_zero123_guidance(), "fake_render_side_only"
@@ -138,7 +155,7 @@ def main() -> None:
     ))
     tr = Stage1Trainer(
         opt, ref_rgb=rgb, ref_mask=mask[..., 0], capacity=8192, seed=0,
-        guidance_fns=((1.0, g.guidance_fn()),),
+        guidance_fns=((1.0,) + g.guidance_args(),),
     )
 
     # The 500-iter ladder: steps 1-149 @128, 150-299 @256, 300-500 @512.

@@ -39,7 +39,7 @@ def build_guidances(opt, ref_rgb):
                 ckpt, stable=opt.get("stable_zero123", False),
                 default_elevation=opt.get("elevation", 0),
             )
-            guidance_fns.append((lam_123, g.guidance_fn()))
+            guidance_fns.append((lam_123,) + g.guidance_args())
         elif use_fake:
             from ..guidance.fake import fake_zero123_guidance
 
@@ -47,7 +47,7 @@ def build_guidances(opt, ref_rgb):
                 stable=opt.get("stable_zero123", False),
                 default_elevation=opt.get("elevation", 0),
             )
-            guidance_fns.append((lam_123, g.guidance_fn()))
+            guidance_fns.append((lam_123,) + g.guidance_args())
         else:
             print("[WARN] lambda_zero123 > 0 but no zero123_ckpt given and "
                   "fake_guidance=False; skipping zero123 guidance")
@@ -68,7 +68,7 @@ def build_guidances(opt, ref_rgb):
             else:
                 print("[WARN] imagedream needs sd_ckpt or fake_guidance")
                 return tuple(guidance_fns)
-            guidance_fns.append((lam_sd, g.guidance_fn()))
+            guidance_fns.append((lam_sd,) + g.guidance_args())
         elif opt.get("mvdream", False):
             if ckpt:
                 from ..guidance.loader import load_stable_diffusion
@@ -85,7 +85,7 @@ def build_guidances(opt, ref_rgb):
             else:
                 print("[WARN] mvdream needs sd_ckpt or fake_guidance")
                 return tuple(guidance_fns)
-            guidance_fns.append((lam_sd, g.guidance_fn()))
+            guidance_fns.append((lam_sd,) + g.guidance_args())
         elif ckpt:
             from ..guidance.loader import load_stable_diffusion
 
@@ -93,12 +93,12 @@ def build_guidances(opt, ref_rgb):
                 ckpt, prompt=prompt,
                 negative_prompt=opt.get("negative_prompt", "") or "",
             )
-            guidance_fns.append((lam_sd, g.guidance_fn()))
+            guidance_fns.append((lam_sd,) + g.guidance_args())
         elif use_fake:
             from ..guidance.fake import fake_sd_guidance
 
             g = fake_sd_guidance()
-            guidance_fns.append((lam_sd, g.guidance_fn()))
+            guidance_fns.append((lam_sd,) + g.guidance_args())
         else:
             print("[WARN] lambda_sd > 0 but no sd_ckpt given and "
                   "fake_guidance=False; skipping SD guidance")

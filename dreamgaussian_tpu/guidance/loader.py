@@ -85,6 +85,13 @@ def _backbone_from_params(unet, unet_params, vae, vae_params,
         vae_decode=vae_decode,
         scheduler=DDIMScheduler(),
         latent_size=image_size // 8,
+        # Param-passing forms: used when the SDS step is traced into an
+        # outer jit (see Backbone docstring — closed-over real-size
+        # params would be inlined into the module as dense literals).
+        unet_apply_p=lambda p, x, t, ctx, **kw: unet.apply(p, x, t, ctx,
+                                                           **kw),
+        vae_encode_p=lambda p, imgs: vae.apply(p, imgs, method=vae.encode),
+        net_params={"unet": unet_params, "vae": vae_params},
     )
 
 

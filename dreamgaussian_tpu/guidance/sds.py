@@ -37,14 +37,39 @@ from .scheduler import DDIMScheduler
 
 
 class Backbone(NamedTuple):
-    """Frozen diffusion backbone handles (UNet + VAE applies are closures
-    over their frozen params)."""
+    """Frozen diffusion backbone handles.
+
+    The closure-style applies (``unet_apply``/``vae_encode``/
+    ``vae_decode``) are for EAGER use (refine loops, one-off calls):
+    their params live as device buffers inside the jitted closure.
+
+    For tracing into an OUTER jit (the fused SDS train step), use the
+    param-PASSING forms + ``net_params``: JAX inlines closed-over arrays
+    into the lowered module as dense literals, which for a real 860M-
+    param UNet means a multi-GB StableHLO and a ~half-hour lowering.
+    Passing params as arguments keeps them as runtime buffers.
+    """
 
     unet_apply: Callable  # (latents NHWC, t [B], context [B,L,D]) -> eps NHWC
     vae_encode: Callable  # (imgs NHWC in [-1,1]) -> latents (scaled)
     vae_decode: Callable  # (latents) -> imgs NHWC in [-1,1]
     scheduler: DDIMScheduler
     latent_size: int      # latent spatial size for this guidance's res
+    unet_apply_p: Callable | None = None  # (params, x, t, ctx, **kw) -> eps
+    vae_encode_p: Callable | None = None  # (params, imgs) -> latents
+    net_params: dict | None = None        # {"unet": ..., "vae": ...}
+
+
+def _applies(bk: Backbone, gp):
+    """(unet_apply, vae_encode) — param-passing when ``gp`` is a non-empty
+    params dict, closure-style otherwise."""
+    if gp:
+        return (
+            lambda x, t, ctx, **kw: bk.unet_apply_p(gp["unet"], x, t, ctx,
+                                                    **kw),
+            lambda imgs: bk.vae_encode_p(gp["vae"], imgs),
+        )
+    return bk.unet_apply, bk.vae_encode
 
 
 def _resize(images, size):
@@ -107,10 +132,11 @@ class StableDiffusionGuidance:
         scheduler = bk.scheduler
         alphas = scheduler.alphas_cumprod
 
-        def fn(images, cond, step_ratio, key):
+        def fn(images, cond, step_ratio, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
             b = images.shape[0]
             imgs = _resize(images, self.image_size) * 2.0 - 1.0
-            latents = bk.vae_encode(imgs)
+            latents = vae_encode(imgs)
 
             k_t, k_n = jax.random.split(key)
             if self.anneal:
@@ -130,7 +156,7 @@ class StableDiffusionGuidance:
             x_in = jnp.concatenate([latents_noisy] * 2)
             t_in = jnp.concatenate([t_b] * 2)
             ctx = jnp.concatenate([pos, neg])
-            eps = jax.lax.stop_gradient(bk.unet_apply(x_in, t_in, ctx))
+            eps = jax.lax.stop_gradient(unet_apply(x_in, t_in, ctx))
             eps_cond, eps_uncond = jnp.split(eps, 2)
             eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
 
@@ -232,10 +258,11 @@ class Zero123Guidance:
         sch = bk.scheduler
         alphas = sch.alphas_cumprod
 
-        def fn(images, cond, step_ratio, key):
+        def fn(images, cond, step_ratio, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
             b = images.shape[0]
             imgs = _resize(images, self.image_size) * 2.0 - 1.0
-            latents = bk.vae_encode(imgs)
+            latents = vae_encode(imgs)
 
             k_t, k_n = jax.random.split(key)
             if self.anneal:
@@ -260,7 +287,7 @@ class Zero123Guidance:
             x_in = jnp.concatenate([x_in, vae_in], axis=-1)  # 8-channel
             t_in = jnp.concatenate([t_b] * 2)
 
-            eps = jax.lax.stop_gradient(bk.unet_apply(x_in, t_in, ctx))
+            eps = jax.lax.stop_gradient(unet_apply(x_in, t_in, ctx))
             eps_cond, eps_uncond = jnp.split(eps, 2)
             eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
 
@@ -350,10 +377,11 @@ class MVDreamGuidance:
         bk = self.backbone
         sch = bk.scheduler
 
-        def fn(images, cond, step_ratio, key):
+        def fn(images, cond, step_ratio, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
             b = images.shape[0]  # = num_views * real_batch
             imgs = _resize(images, self.image_size) * 2.0 - 1.0
-            latents = bk.vae_encode(imgs)
+            latents = vae_encode(imgs)
 
             k_t, k_n = jax.random.split(key)
             # One shared t per 4-view group (mvdream_utils.py:121).
@@ -375,7 +403,7 @@ class MVDreamGuidance:
             ctx = jnp.concatenate([pos, neg])
             cam_in = jnp.concatenate([cam16] * 2)
             eps = jax.lax.stop_gradient(
-                bk.unet_apply(x_in, t_in, ctx, camera=cam_in)
+                unet_apply(x_in, t_in, ctx, camera=cam_in)
             )
             eps_cond, eps_uncond = jnp.split(eps, 2)
             eps_hat = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
@@ -483,11 +511,12 @@ class ImageDreamGuidance:
         bk = self.backbone
         sch = bk.scheduler
 
-        def fn(images, cond, step_ratio, key):
+        def fn(images, cond, step_ratio, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
             b = images.shape[0]
             rb = b // self.num_views
             imgs = _resize(images, self.image_size) * 2.0 - 1.0
-            latents = bk.vae_encode(imgs)
+            latents = vae_encode(imgs)
 
             k_t, k_n = jax.random.split(key)
             if self.anneal:
@@ -532,7 +561,7 @@ class ImageDreamGuidance:
             ip_img = jnp.concatenate([ip_img_neg, ip_img_pos])
 
             eps5 = jax.lax.stop_gradient(
-                bk.unet_apply(
+                unet_apply(
                     x_in, t_in, ctx, camera=cam_in, ip=ip, ip_img=ip_img
                 )
             )
@@ -600,3 +629,22 @@ class ImageDreamGuidance:
             eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
             latents = sch.step(eps_hat, int(t), latents)
         return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def _guidance_args(self):
+    """(fn, net_params) for PARAM-PASSING use inside an outer jit.
+
+    Trainers register the pair as ``(weight, fn, net_params)`` and call
+    ``fn(images, cond, step_ratio, key, net_params)`` with net_params fed
+    through the jit boundary as an argument — closed-over real-size
+    UNet/VAE params would be inlined into the lowered module as dense
+    literals (see Backbone docstring). Falls back to the closure style
+    ({} params) for backbones that carry no param handles (fakes).
+    """
+    return self.guidance_fn(), (self.backbone.net_params or {})
+
+
+StableDiffusionGuidance.guidance_args = _guidance_args
+Zero123Guidance.guidance_args = _guidance_args
+MVDreamGuidance.guidance_args = _guidance_args
+ImageDreamGuidance.guidance_args = _guidance_args

@@ -102,7 +102,7 @@ def make_dp_train_step(
             )
 
     def local_loss_fn(params, tap, step, known_cams, novel_cams, bg,
-                      ref_rgb, ref_mask, key, cond, alive):
+                      ref_rgb, ref_mask, key, cond, alive, gparams=()):
         step_ratio = jnp.minimum(1.0, step / lr_schedules["total_iters"])
         w = step_ratio if warmup_rgb_loss else 1.0
         loss = 0.0
@@ -131,26 +131,32 @@ def make_dp_train_step(
         images = jnp.stack(images)
         # Guidance contract: fn returns the MEAN loss over the views given.
         # psum of per-device means / n_dev == the global mean a single
-        # device would compute over all views.
-        for weight, fn in guidance_fns:
-            loss += weight * fn(images, cond, step_ratio, key) / n_dev
+        # device would compute over all views. 3-tuple entries use the
+        # param-passing contract (params replicated over the mesh; see
+        # guidance/sds.py Backbone).
+        for i, entry in enumerate(guidance_fns):
+            if len(entry) > 2:
+                g = entry[1](images, cond, step_ratio, key, gparams[i])
+            else:
+                g = entry[1](images, cond, step_ratio, key)
+            loss += entry[0] * g / n_dev
         return loss, (radii_sum, overflow)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P("data"), P(), P(), P(), P(),
-                  P("data")),
+                  P("data"), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     def sharded_step(params, adam, aux, step, known_cams, novel_cams, bg,
-                     ref_rgb, ref_mask, key, cond):
+                     ref_rgb, ref_mask, key, cond, gparams):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(local_loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (radii, overflow)), (grads, tap_grad) = grad_fn(
             params, tap, step, known_cams, novel_cams, bg, ref_rgb, ref_mask,
-            key, cond, aux.alive,
+            key, cond, aux.alive, gparams,
         )
         # One collective for everything: grads, loss, densify stats.
         grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
@@ -172,7 +178,18 @@ def make_dp_train_step(
         aux = accumulate_stats(aux, tap_grad * (novel_size / 2.0), radii)
         return params, adam, aux, {"loss": loss, "overflow": overflow}
 
-    return jax.jit(sharded_step)
+    jitted = jax.jit(sharded_step)
+
+    def step(params, adam, aux, step_, known_cams, novel_cams, bg,
+             ref_rgb, ref_mask, key, cond, gparams=()):
+        if not gparams:
+            gparams = tuple(
+                e[2] if len(e) > 2 else () for e in guidance_fns
+            )
+        return jitted(params, adam, aux, step_, known_cams, novel_cams,
+                      bg, ref_rgb, ref_mask, key, cond, gparams)
+
+    return step
 
 
 def shard_cameras(mesh: Mesh, cams: dict) -> dict:

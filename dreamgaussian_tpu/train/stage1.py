@@ -86,13 +86,19 @@ def make_train_step(
 ):
     """Build the jitted train step for one novel-view resolution.
 
-    guidance_fns: tuple of (weight, fn) pairs; each fn is traced into the
-    step. Returns step_fn(params, adam, aux, step, known_cams, novel_cams,
-    bg, ref_rgb, ref_mask, key, cond) -> (params, adam, aux, metrics).
+    guidance_fns: tuple of (weight, fn) or (weight, fn, net_params)
+    entries; each fn is traced into the step. 3-tuples use the param-
+    PASSING guidance contract (fn(images, cond, step_ratio, key, gp)
+    with gp fed through the jit boundary — real-size UNet/VAE params
+    must NOT be closed over, see guidance/sds.py Backbone). Returns
+    step_fn(params, adam, aux, step, known_cams, novel_cams, bg,
+    ref_rgb, ref_mask, key, cond, accum_stats, gparams)
+    -> (params, adam, aux, metrics), where gparams is the tuple of
+    net_params (() placeholders for 2-tuples).
     """
 
     def loss_fn(params, tap, step, known_cams, novel_cams, bg, ref_rgb,
-                ref_mask, key, cond, alive):
+                ref_mask, key, cond, alive, gparams):
         step_ratio = jnp.minimum(1.0, step / lr_schedules["total_iters"])
         w = step_ratio if warmup_rgb_loss else 1.0
         loss = 0.0
@@ -118,18 +124,22 @@ def make_train_step(
             overflow = overflow + last.overflow
         images = jnp.stack(images) if images else jnp.zeros((0,))
 
-        for weight, fn in guidance_fns:
-            loss += weight * fn(images, cond, step_ratio, key)
+        for i, entry in enumerate(guidance_fns):
+            if len(entry) > 2:
+                loss += entry[0] * entry[1](images, cond, step_ratio, key,
+                                            gparams[i])
+            else:
+                loss += entry[0] * entry[1](images, cond, step_ratio, key)
         return loss, (last.radii if last is not None else None, overflow)
 
     @jax.jit
     def step_fn(params, adam, aux, step, known_cams, novel_cams, bg,
-                ref_rgb, ref_mask, key, cond, accum_stats):
+                ref_rgb, ref_mask, key, cond, accum_stats, gparams=()):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (radii, overflow)), (grads, tap_grad) = grad_fn(
             params, tap, step, known_cams, novel_cams, bg, ref_rgb,
-            ref_mask, key, cond, aux.alive,
+            ref_mask, key, cond, aux.alive, gparams,
         )
         grads = {k: jnp.nan_to_num(v) for k, v in grads.items()}
 
@@ -191,13 +201,13 @@ def make_train_scan(
     @jax.jit
     def scan_fn(params, adam, aux, known_cams, ref_rgb, ref_mask,
                 steps, novel_cams_seq, bgs, keys, conds_seq, accums,
-                densify_flags, reset_flags, densify_keys):
+                densify_flags, reset_flags, densify_keys, gparams=()):
         def body(carry, xs):
             params, adam, aux = carry
             (step, ncams, bg, key, cond, accum, do_d, do_r, dkey) = xs
             params, adam, aux, metrics = step_fn(
                 params, adam, aux, step, known_cams, ncams, bg,
-                ref_rgb, ref_mask, key, cond, accum,
+                ref_rgb, ref_mask, key, cond, accum, gparams,
             )
             params, adam, aux = jax.lax.cond(
                 do_d,
@@ -244,6 +254,12 @@ class Stage1Trainer:
         self.step = 0
         self.capacity = capacity
         self.guidance_fns = guidance_fns
+        # Param-passing guidance entries carry net_params as a 3rd item;
+        # those flow through the jit boundary as arguments (() for
+        # closure-style entries keeps the pytree structure static).
+        self.gparams = tuple(
+            e[2] if len(e) > 2 else () for e in guidance_fns
+        )
         self.cond = cond or {}
         # Binning duplicate-slot cap. Overflow (a gaussian spanning more
         # tiles than this) is detected per step and escalates the cap
@@ -436,7 +452,7 @@ class Stage1Trainer:
         self.params, self.adam, self.aux, metrics = step_fn(
             self.params, self.adam, self.aux, jnp.float32(self.step),
             known, novel, bg, ref_rgb, ref_mask, k_step, cond,
-            jnp.asarray(in_window),
+            jnp.asarray(in_window), self.gparams,
         )
         loss = metrics["loss"]
         self.overflow = metrics["overflow"]
@@ -550,7 +566,7 @@ class Stage1Trainer:
             jnp.asarray(steps, jnp.float32),
             novel_seq, jnp.asarray(bgs, jnp.float32), keys, conds_seq,
             jnp.asarray(in_window), jnp.asarray(densify_flags),
-            jnp.asarray(reset_flags), dkeys,
+            jnp.asarray(reset_flags), dkeys, self.gparams,
         )
         self.step += k
         self.overflow = metrics["overflow"]

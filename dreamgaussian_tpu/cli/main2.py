@@ -15,10 +15,14 @@ import numpy as np
 
 
 def build_refiners(opt, ref_rgb):
+    """(weight, fn, net_params) refine entries — every guidance uses its
+    FUSED jitted refine loop (guidance/sds.py ``refine_args``: one
+    compiled program per guidance, strength traced)."""
     refine_fns = []
     use_fake = opt.get("fake_guidance", False)
     lam_sd = opt.get("lambda_sd", 0)
     lam_123 = opt.get("lambda_zero123", 0)
+    steps = opt.get("refine_steps", 50)
 
     if lam_123 > 0 and ref_rgb is not None:
         if opt.get("zero123_ckpt", None):
@@ -37,16 +41,8 @@ def build_refiners(opt, ref_rgb):
             )
         else:
             return tuple(refine_fns)
-
-        def refine_123(images, cond, strength, key, _g=g):
-            return _g.refine(
-                images, cond["vers"], cond["hors"], cond["radii"], key,
-                strength=float(strength), steps=opt.get("refine_steps", 50),
-            )
-
-        refine_fns.append((lam_123, refine_123))
+        refine_fns.append((lam_123,) + g.refine_args(steps=steps))
     if lam_sd > 0 and (opt.get("prompt", "") or opt.get("imagedream", False)):
-        steps = opt.get("refine_steps", 50)
         if opt.get("imagedream", False):
             if opt.get("sd_ckpt", None):
                 from ..guidance.loader import load_imagedream
@@ -62,14 +58,6 @@ def build_refiners(opt, ref_rgb):
                 g = fake_imagedream_guidance()
             else:
                 return tuple(refine_fns)
-
-            def refine_mv(images, cond, strength, key, _g=g):
-                return _g.refine(
-                    images, cond["poses"], key, strength=float(strength),
-                    steps=steps,
-                )
-
-            refine_fns.append((lam_sd, refine_mv))
         elif opt.get("mvdream", False):
             if opt.get("sd_ckpt", None):
                 from ..guidance.loader import load_mvdream
@@ -84,14 +72,6 @@ def build_refiners(opt, ref_rgb):
                 g = fake_mvdream_guidance()
             else:
                 return tuple(refine_fns)
-
-            def refine_mv(images, cond, strength, key, _g=g):
-                return _g.refine(
-                    images, cond["poses"], key, strength=float(strength),
-                    steps=steps,
-                )
-
-            refine_fns.append((lam_sd, refine_mv))
         else:
             if opt.get("sd_ckpt", None):
                 from ..guidance.loader import load_stable_diffusion
@@ -106,14 +86,7 @@ def build_refiners(opt, ref_rgb):
                 g = fake_sd_guidance()
             else:
                 return tuple(refine_fns)
-
-            def refine_sd(images, cond, strength, key, _g=g):
-                return _g.refine(
-                    images, key, strength=float(strength),
-                    steps=steps, hors=cond.get("hors"),
-                )
-
-            refine_fns.append((lam_sd, refine_sd))
+        refine_fns.append((lam_sd,) + g.refine_args(steps=steps))
     return tuple(refine_fns)
 
 

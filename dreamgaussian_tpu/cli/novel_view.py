@@ -55,13 +55,15 @@ def main(argv=None) -> None:
     )
     images = jnp.broadcast_to(jnp.asarray(rgb)[None], (len(args.hors),) + rgb.shape)
     # strength 0 => start from (almost) pure noise: full generation.
-    out = g.refine(
-        images, jnp.asarray(vers, jnp.float32),
-        jnp.asarray(args.hors, jnp.float32),
-        jnp.zeros(len(args.hors)), jax.random.PRNGKey(0),
-        strength=0.0, steps=args.steps,
-    )
-    out = np.asarray(out)
+    # Fused refine: the whole DDIM loop is ONE jitted dispatch (the eager
+    # loop costs a host round-trip per denoise step on tunneled TPUs).
+    fn, gp = g.refine_args(steps=args.steps)
+    cond = {
+        "vers": jnp.asarray(vers, jnp.float32),
+        "hors": jnp.asarray(args.hors, jnp.float32),
+        "radii": jnp.zeros(len(args.hors)),
+    }
+    out = np.asarray(fn(images, cond, 0.0, jax.random.PRNGKey(0), gp))
 
     import imageio
 

@@ -91,6 +91,7 @@ def _backbone_from_params(unet, unet_params, vae, vae_params,
         unet_apply_p=lambda p, x, t, ctx, **kw: unet.apply(p, x, t, ctx,
                                                            **kw),
         vae_encode_p=lambda p, imgs: vae.apply(p, imgs, method=vae.encode),
+        vae_decode_p=lambda p, z: vae.apply(p, z, method=vae.decode),
         net_params={"unet": unet_params, "vae": vae_params},
     )
 

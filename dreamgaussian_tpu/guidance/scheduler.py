@@ -77,7 +77,17 @@ class DDIMScheduler:
     def step(self, noise_pred, t: int, sample, eta: float = 0.0):
         """One deterministic DDIM update x_t -> x_{t-Delta} (eta=0)."""
         assert self.num_inference_steps is not None, "call set_timesteps()"
-        prev_t = t - self.num_train_timesteps // self.num_inference_steps
+        return self.step_with_spacing(
+            noise_pred, t, sample,
+            self.num_train_timesteps // self.num_inference_steps,
+        )
+
+    def step_with_spacing(self, noise_pred, t, sample, spacing: int):
+        """``step`` with the timestep spacing passed explicitly — no
+        mutable scheduler state, so it is safe inside jitted loops whose
+        ``t`` is traced (the fused refine path) and across guidances that
+        use different inference step counts."""
+        prev_t = t - spacing
         a_t = self.alphas_cumprod[t]
         a_prev = jnp.where(
             prev_t >= 0,

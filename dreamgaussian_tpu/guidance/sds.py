@@ -57,6 +57,7 @@ class Backbone(NamedTuple):
     latent_size: int      # latent spatial size for this guidance's res
     unet_apply_p: Callable | None = None  # (params, x, t, ctx, **kw) -> eps
     vae_encode_p: Callable | None = None  # (params, imgs) -> latents
+    vae_decode_p: Callable | None = None  # (params, latents) -> imgs
     net_params: dict | None = None        # {"unet": ..., "vae": ...}
 
 
@@ -70,6 +71,48 @@ def _applies(bk: Backbone, gp):
             lambda imgs: bk.vae_encode_p(gp["vae"], imgs),
         )
     return bk.unet_apply, bk.vae_encode
+
+
+def _decode(bk: Backbone, gp):
+    """vae_decode — param-passing when ``gp`` is a non-empty dict."""
+    if gp:
+        return lambda z: bk.vae_decode_p(gp["vae"], z)
+    return bk.vae_decode
+
+
+def _fused_ddim_loop(sch: DDIMScheduler, steps: int, latents, key, strength,
+                     denoise):
+    """img2img DDIM tail as ONE traced loop (the fused refine core).
+
+    The eager refine loops dispatch one jitted UNet call per DDIM step;
+    through a tunneled TPU each dispatch costs a host round-trip, which
+    dominates stage 2. Here the whole tail — noise at ts[init_step], then
+    denoise ts[init_step:] — is a ``lax.fori_loop`` with DYNAMIC bounds,
+    so one compiled program covers every ``strength`` (the reference
+    varies strength per iteration: /root/reference/main2.py:240).
+
+    ``denoise(latents, t) -> eps_hat`` builds the CFG'd prediction; ``t``
+    is a traced scalar. ``strength`` may be a traced scalar in [0, 1].
+    """
+    spacing = sch.num_train_timesteps // steps
+    # Descending "leading" spacing, matching set_timesteps.
+    ts_arr = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32) * spacing
+    init_step = jnp.clip(
+        jnp.floor(steps * strength).astype(jnp.int32), 0, steps - 1
+    )
+    t0 = ts_arr[init_step]
+    b = latents.shape[0]
+    # Same split as the eager loops (k_n, key = split(key); normal(k_n))
+    # so fused and eager refine are numerically identical per key.
+    k_n, _ = jax.random.split(key)
+    noise = jax.random.normal(k_n, latents.shape)
+    latents = sch.add_noise(latents, noise, jnp.full((b,), t0, jnp.int32))
+
+    def body(i, lat):
+        t = ts_arr[i]
+        return sch.step_with_spacing(denoise(lat, t), t, lat, spacing)
+
+    return jax.lax.fori_loop(init_step, steps, body, latents)
 
 
 def _resize(images, size):
@@ -195,6 +238,43 @@ class StableDiffusionGuidance:
             eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
             latents = sch.step(eps_hat, int(t), latents)
         return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+    def refine_fn(self, steps: int = 50, guidance_scale: float = 100.0):
+        """Fused ``refine``: the whole img2img DDIM tail in ONE jitted
+        call (see _fused_ddim_loop). Returns
+        ``fn(images, cond, strength, key, gp=None) -> images in [0,1]``
+        — the stage-2 refine contract with the trailing net_params slot
+        (strength is traced; one compile covers every strength)."""
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, strength, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            b = images.shape[0]
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = vae_encode(imgs)
+            hors = cond.get("hors") if cond else None
+            pos = self._directional_embeds(
+                jnp.zeros(b) if hors is None else jnp.asarray(hors), b
+            )
+            neg = jnp.broadcast_to(
+                self.emb["neg"][None], (b,) + self.emb["neg"].shape
+            )
+            ctx = jnp.concatenate([pos, neg])
+
+            def denoise(lat, t):
+                t_in = jnp.full((2 * b,), t, jnp.int32)
+                eps = unet_apply(jnp.concatenate([lat] * 2), t_in, ctx)
+                eps_cond, eps_uncond = jnp.split(eps, 2)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _fused_ddim_loop(
+                sch, steps, latents, key, strength, denoise
+            )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
 
 
 def zero123_cam_embed(vers, hors, radii, default_elevation=0.0,
@@ -330,6 +410,45 @@ class Zero123Guidance:
             latents = sch.step(eps_hat, int(t), latents)
         return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
 
+    def refine_fn(self, steps: int = 50, guidance_scale: float = 5.0):
+        """Fused ``refine`` (one jitted call; see
+        StableDiffusionGuidance.refine_fn). cond needs vers/hors/radii."""
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, strength, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            b = images.shape[0]
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = vae_encode(imgs)
+            cc = self._cond_tokens(
+                jnp.asarray(cond["vers"], jnp.float32),
+                jnp.asarray(cond["hors"], jnp.float32),
+                jnp.asarray(cond["radii"], jnp.float32), b,
+            )
+            ctx = jnp.concatenate([cc, jnp.zeros_like(cc)])
+            vae_emb = jnp.broadcast_to(
+                self.vae_latent, (b,) + self.vae_latent.shape[1:]
+            )
+            vae_in = jnp.concatenate([vae_emb, jnp.zeros_like(vae_emb)])
+
+            def denoise(lat, t):
+                t_in = jnp.full((2 * b,), t, jnp.int32)
+                x_in = jnp.concatenate(
+                    [jnp.concatenate([lat] * 2), vae_in], axis=-1
+                )
+                eps = unet_apply(x_in, t_in, ctx)
+                eps_cond, eps_uncond = jnp.split(eps, 2)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _fused_ddim_loop(
+                sch, steps, latents, key, strength, denoise
+            )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
 
 def mvdream_camera(poses):
     """[B,4,4] OpenGL c2w -> normalized 16-dim blender-convention camera
@@ -447,6 +566,43 @@ class MVDreamGuidance:
             eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
             latents = sch.step(eps_hat, int(t), latents)
         return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+    def refine_fn(self, steps: int = 50, guidance_scale: float = 100.0):
+        """Fused 4-view ``refine`` (one jitted call; see
+        StableDiffusionGuidance.refine_fn). cond needs poses [B,4,4]."""
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, strength, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            b = images.shape[0]
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = vae_encode(imgs)
+            cam16 = mvdream_camera(jnp.asarray(cond["poses"], jnp.float32))
+            cam_in = jnp.concatenate([cam16] * 2)
+            pos = jnp.broadcast_to(
+                self.emb["pos"][None], (b,) + self.emb["pos"].shape
+            )
+            neg = jnp.broadcast_to(
+                self.emb["neg"][None], (b,) + self.emb["neg"].shape
+            )
+            ctx = jnp.concatenate([neg, pos])
+
+            def denoise(lat, t):
+                t_in = jnp.full((2 * b,), t, jnp.int32)
+                eps = unet_apply(
+                    jnp.concatenate([lat] * 2), t_in, ctx, camera=cam_in
+                )
+                eps_uncond, eps_cond = jnp.split(eps, 2)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _fused_ddim_loop(
+                sch, steps, latents, key, strength, denoise
+            )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
 
 
 class ImageDreamGuidance:
@@ -630,6 +786,61 @@ class ImageDreamGuidance:
             latents = sch.step(eps_hat, int(t), latents)
         return jnp.clip(bk.vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
 
+    def refine_fn(self, steps: int = 50, guidance_scale: float = 5.0):
+        """Fused 4(+1)-view ``refine`` (one jitted call; see
+        StableDiffusionGuidance.refine_fn). cond needs poses; the extra
+        view is padded in / stripped out per denoise step."""
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(images, cond, strength, key, gp=None):
+            unet_apply, vae_encode = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            b = images.shape[0]
+            rb = b // self.num_views
+            imgs = _resize(images, self.image_size) * 2.0 - 1.0
+            latents = vae_encode(imgs)
+            n5 = rb * (self.num_views + 1)
+            cam16 = self._pad_views(
+                mvdream_camera(jnp.asarray(cond["poses"], jnp.float32))
+            )
+            cam_in = jnp.concatenate([cam16] * 2)
+            text_pos = jnp.broadcast_to(
+                self.emb["pos"][None], (n5,) + self.emb["pos"].shape
+            )
+            text_neg = jnp.broadcast_to(self.emb["neg"][None], text_pos.shape)
+            ctx = jnp.concatenate([text_neg, text_pos])
+            ip_pos = jnp.broadcast_to(
+                self.img_emb["pos"][None], (n5,) + self.img_emb["pos"].shape
+            )
+            ip = jnp.concatenate([jnp.zeros_like(ip_pos), ip_pos])
+            ip_img_pos = jnp.broadcast_to(
+                self.img_emb["ip_img"][None],
+                (rb,) + self.img_emb["ip_img"].shape,
+            )
+            ip_img = jnp.concatenate([jnp.zeros_like(ip_img_pos), ip_img_pos])
+
+            def denoise(lat, t):
+                t5 = self._pad_views(
+                    jnp.full((b,), t, jnp.float32), mode="repeat"
+                )
+                x_in = jnp.concatenate([self._pad_views(lat)] * 2)
+                eps5 = unet_apply(
+                    x_in, jnp.concatenate([t5] * 2), ctx, camera=cam_in,
+                    ip=ip, ip_img=ip_img,
+                )
+                eps_uncond5, eps_cond5 = jnp.split(eps5, 2)
+                eps_uncond = self._strip_views(eps_uncond5)
+                eps_cond = self._strip_views(eps_cond5)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _fused_ddim_loop(
+                sch, steps, latents, key, strength, denoise
+            )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
 
 def _guidance_args(self):
     """(fn, net_params) for PARAM-PASSING use inside an outer jit.
@@ -644,7 +855,19 @@ def _guidance_args(self):
     return self.guidance_fn(), (self.backbone.net_params or {})
 
 
+def _refine_args(self, **kw):
+    """(fused_refine_fn, net_params) — the stage-2 analogue of
+    ``guidance_args``: trainers register ``(weight, fn, net_params)`` and
+    call ``fn(images, cond, strength, key, net_params)``. The fn is one
+    jitted program per guidance covering every strength."""
+    return self.refine_fn(**kw), (self.backbone.net_params or {})
+
+
 StableDiffusionGuidance.guidance_args = _guidance_args
 Zero123Guidance.guidance_args = _guidance_args
 MVDreamGuidance.guidance_args = _guidance_args
 ImageDreamGuidance.guidance_args = _guidance_args
+StableDiffusionGuidance.refine_args = _refine_args
+Zero123Guidance.refine_args = _refine_args
+MVDreamGuidance.refine_args = _refine_args
+ImageDreamGuidance.refine_args = _refine_args

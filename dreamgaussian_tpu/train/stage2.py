@@ -16,8 +16,11 @@ instead of a continuous jitter), and each step renders twice — once
 forward for the refine target, once inside the jitted grad step (mesh
 renders are cheap; the refine UNet loop dominates).
 
-refine_fns contract: tuple of (weight, fn) with
-fn(images [B,H,W,3], cond, strength, key) -> refined images (no grad).
+refine_fns contract: tuple of (weight, fn) or (weight, fn, net_params)
+entries with fn(images [B,H,W,3], cond, strength, key[, net_params]) ->
+refined images (no grad). 3-tuples are the param-passing form used by
+fused jitted refine loops (guidance/sds.py ``refine_args``); real-size
+UNet/VAE params must flow as arguments, not closures.
 """
 
 from __future__ import annotations
@@ -165,7 +168,7 @@ class Stage2Trainer:
         ref_size = self.ref_size
         use_known = self.use_known_view
         train_geo = self.train_geo
-        lambda_refine = [w for w, _ in self.refine_fns]
+        lambda_refine = [e[0] for e in self.refine_fns]
 
         def loss_fn(params, known_arr, known_rot, novel_arrs, novel_rots,
                     targets, ref_rgb, ref_mask):
@@ -241,9 +244,16 @@ class Stage2Trainer:
         # One independent refined target per refine fn (each fn denoises
         # the SAME renders; targets never chain through each other).
         per_fn_targets = []
-        for _, refine in self.refine_fns:
+        for entry in self.refine_fns:
+            refine = entry[1]
             self.key, k = jax.random.split(self.key)
-            t = refine(images, cond, strength, k)
+            # 3-tuple entries use the param-passing contract: net_params
+            # flow through the jit boundary as an argument (see
+            # guidance/sds.py Backbone / _refine_args).
+            if len(entry) > 2:
+                t = refine(images, cond, strength, k, entry[2])
+            else:
+                t = refine(images, cond, strength, k)
             per_fn_targets.append(
                 jax.image.resize(jnp.asarray(t), images.shape, "bilinear")
             )

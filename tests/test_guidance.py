@@ -315,3 +315,90 @@ class TestImageDreamGuidance:
         t5 = np.asarray(seen_batches["t"]).reshape(2, 5)
         np.testing.assert_array_equal(t5[:, 4], t5[:, 0])
         assert t5.min() > 0
+
+
+class TestFusedRefine:
+    """The fused (single-jit, traced-strength) refine loops match the
+    eager per-step loops exactly for the same PRNG key."""
+
+    def _poses(self):
+        from dreamgaussian_tpu.utils.camera import orbit_camera
+
+        return jnp.asarray(
+            np.stack([orbit_camera(0, h, 2.0) for h in (0, 90, 180, -90)])
+        )
+
+    def test_zero123_fused_matches_eager(self):
+        from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
+
+        g = fake_zero123_guidance()
+        key = jax.random.PRNGKey(3)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        cond = {"vers": jnp.zeros(1), "hors": jnp.zeros(1),
+                "radii": jnp.zeros(1)}
+        fn, gp = g.refine_args(steps=50)
+        for strength in (0.8, 0.92):
+            eager = g.refine(imgs, cond["vers"], cond["hors"], cond["radii"],
+                             key, strength=strength, steps=50)
+            fused = fn(imgs, cond, strength, key, gp)
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(eager), atol=1e-5
+            )
+
+    def test_sd_fused_matches_eager(self):
+        from dreamgaussian_tpu.guidance.fake import fake_sd_guidance
+
+        g = fake_sd_guidance()
+        key = jax.random.PRNGKey(4)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        eager = g.refine(imgs, key, strength=0.85, steps=50,
+                         hors=np.zeros(1))
+        fn, gp = g.refine_args(steps=50)
+        fused = fn(imgs, {"hors": jnp.zeros(1)}, 0.85, key, gp)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(eager), atol=1e-5
+        )
+
+    def test_mvdream_fused_matches_eager(self):
+        from dreamgaussian_tpu.guidance.fake import fake_mvdream_guidance
+
+        g = fake_mvdream_guidance()
+        key = jax.random.PRNGKey(5)
+        imgs = jax.random.uniform(jax.random.PRNGKey(2), (4, 64, 64, 3))
+        poses = self._poses()
+        eager = g.refine(imgs, poses, key, strength=0.85, steps=50)
+        fn, gp = g.refine_args(steps=50)
+        fused = fn(imgs, {"poses": poses}, 0.85, key, gp)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(eager), atol=1e-5
+        )
+
+    def test_imagedream_fused_matches_eager(self):
+        from dreamgaussian_tpu.guidance.fake import fake_imagedream_guidance
+
+        g = fake_imagedream_guidance()
+        key = jax.random.PRNGKey(6)
+        imgs = jax.random.uniform(jax.random.PRNGKey(2), (4, 64, 64, 3))
+        poses = self._poses()
+        eager = g.refine(imgs, poses, key, strength=0.85, steps=50)
+        fn, gp = g.refine_args(steps=50)
+        fused = fn(imgs, {"poses": poses}, 0.85, key, gp)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(eager), atol=1e-5
+        )
+
+    def test_one_compile_covers_all_strengths(self):
+        """strength is traced: different values must NOT retrace."""
+        from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
+
+        g = fake_zero123_guidance()
+        fn, gp = g.refine_args(steps=50)
+        imgs = jnp.full((1, 64, 64, 3), 0.5)
+        cond = {"vers": jnp.zeros(1), "hors": jnp.zeros(1),
+                "radii": jnp.zeros(1)}
+        key = jax.random.PRNGKey(0)
+        fn(imgs, cond, 0.8, key, gp)
+        n0 = fn._cache_size()
+        fn(imgs, cond, 0.81, key, gp)
+        fn(imgs, cond, 0.95, key, gp)
+        assert fn._cache_size() == n0

@@ -187,3 +187,22 @@ class TestStage2Checkpoint:
             np.asarray(tr2.params["raw_albedo"]),
             np.asarray(tr.params["raw_albedo"]),
         )
+
+
+class TestParamPassingRefine:
+    """Stage-2 (weight, fn, net_params) refine entries: the fused jitted
+    refine loop gets its UNet/VAE params through the jit boundary."""
+
+    def test_fused_zero123_refine_trains(self):
+        from dreamgaussian_tpu.guidance.fake import fake_zero123_guidance
+
+        m = sphere_mesh_uv()
+        g = fake_zero123_guidance()
+        entry = (1.0,) + g.refine_args(steps=50)
+        tr = Stage2Trainer(tiny_opt(), m, refine_fns=(entry,), seed=0)
+        a0 = np.asarray(jax.nn.sigmoid(tr.params["raw_albedo"]))
+        for _ in range(4):
+            loss = tr.train_step()
+        a1 = np.asarray(jax.nn.sigmoid(tr.params["raw_albedo"]))
+        assert np.isfinite(loss)
+        assert np.abs(a1 - a0).max() > 0  # refine target moved the texture

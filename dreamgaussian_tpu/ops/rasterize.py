@@ -30,6 +30,7 @@ from .project import project_gaussians
 from .rasterize_pallas import (
     FEAT_ROWS,
     OUT_CH,
+    REAL_FEAT_ROWS,
     composite_backward,
     composite_forward,
 )
@@ -111,18 +112,23 @@ def _dup_gather_fwd(feat_cols, dup_map, gather_map, big_src, big_gather):
 def _dup_gather_bwd(res, g):
     (rows, cols), gather_map, dup_map, big_src, big_gather = res
     n, mt = gather_map.shape
+    # Rows >= REAL_FEAT_ROWS are sublane padding (build_feature_cols):
+    # their gradients are identically zero, so gather only the real rows
+    # and pad back — a 37% cut of the hottest gather.
+    real = min(rows, REAL_FEAT_ROWS)
+    g_r = g[:real]
     per_dup = jnp.take(
-        g, gather_map.reshape(-1), axis=1, mode="fill", fill_value=0.0
-    ).reshape(rows, n, mt)
-    g_cols = jnp.sum(per_dup, axis=-1)            # [rows, n]
+        g_r, gather_map.reshape(-1), axis=1, mode="fill", fill_value=0.0
+    ).reshape(real, n, mt)
+    g_cols = jnp.sum(per_dup, axis=-1)            # [real, n]
     nb, bb = big_gather.shape
     per_big = jnp.take(
-        g, big_gather.reshape(-1), axis=1, mode="fill", fill_value=0.0
-    ).reshape(rows, nb, bb)
+        g_r, big_gather.reshape(-1), axis=1, mode="fill", fill_value=0.0
+    ).reshape(real, nb, bb)
     g_cols = g_cols.at[:, big_src].add(
         jnp.sum(per_big, axis=-1), unique_indices=True
     )
-    g_cols = jnp.pad(g_cols, ((0, 0), (0, cols - n)))
+    g_cols = jnp.pad(g_cols, ((0, rows - real), (0, cols - n)))
     zero = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
     return g_cols, zero(dup_map), zero(gather_map), zero(big_src), zero(
         big_gather

@@ -66,6 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 16                 # default (CUDA-parity); 32 is the TPU fast path
 PIX = TILE * TILE         # default pixel count; kernels take `tile` statically
 FEAT_ROWS = 16
+REAL_FEAT_ROWS = 10       # rows 0..9 carry data; 10..15 are sublane padding
 OUT_CH = 8
 TERM_EPS = 1e-4
 ALPHA_SKIP = 1.0 / 255.0
@@ -179,12 +180,14 @@ def _tri_masks(c):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
+def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
                 grid_x: int, chunk: int, tile: int, bt: int):
     """One grid step = the contiguous chunk range of ``bt`` tiles.
 
     cs_ref: [n_blocks*bt + 1] chunk start of each tile (extended; entry
     t+1 is tile t's end — the aligned layout is back-to-back).
+    ct_ref: [cap_chunks] global tile id owning each chunk (precomputed
+    on-device; replaces a per-chunk while_loop tile advance).
     """
     pix = tile * tile
     b = pl.program_id(0)
@@ -218,17 +221,14 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         # t_naive: prefix product of (1-alpha) over ALL gaussians so far,
         # ignoring the early-stop rule; t_true: product over contributors
         # only (the CUDA T_final — the trigger does not multiply in).
-        cur_t, t_naive, t_true, rgb_d, ncontrib = carry
+        t_naive, t_true, rgb_d, ncontrib = carry
         slot = jax.lax.rem(k - cs0, 2)
 
         @pl.when(k + 1 < cs1)
         def _():
             get_dma(1 - slot, k + 1).start()
 
-        # Advance to the tile owning chunk k (skips empty tiles).
-        cur_t = jax.lax.while_loop(
-            lambda t: k >= cs_ref[t + 1], lambda t: t + 1, cur_t
-        )
+        cur_t = ct_ref[k]        # tile owning chunk k (empty tiles skipped)
         first = k == cs_ref[cur_t]
         is_last = k == cs_ref[cur_t + 1] - 1
         t_naive = jnp.where(first, 1.0, t_naive)
@@ -241,6 +241,12 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         get_dma(slot, k).wait()
         feat = buf[slot]
 
+        # NOTE a chunk-granular early-termination lax.cond here (skip
+        # compute once max(t_naive) < TERM_EPS — exact, the forward twin
+        # of the backward's dead-chunk skip) was measured 23% SLOWER at
+        # 512^2/8k: Mosaic's per-chunk branch overhead exceeds the saved
+        # work whenever any tile pixel stays uncovered (t=1 forever), so
+        # it stays out.
         alpha, _, _ = _chunk_alpha(feat, mono, cx, cy)
         lg = jnp.log1p(-alpha)
         t_g = t_naive * jnp.exp(_dot(lg, strict_upper))    # naive T before g
@@ -256,7 +262,10 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
             jnp.max(jnp.where(w > 0.0, gpos, 0.0), axis=1, keepdims=True),
         )
 
-        t_naive = t_naive * jnp.exp(_dot(lg, ones_c))
+        # Full-chunk prefix product = (T before the last gaussian) * its
+        # own (1-alpha) — read off t_g's last column instead of another
+        # [C,1] matmul + exp.
+        t_naive = t_g[:, chunk - 1:chunk] * (1.0 - alpha[:, chunk - 1:chunk])
         t_true = t_true * jnp.exp(_dot(lg * m, ones_c))
 
         @pl.when(is_last)
@@ -266,10 +275,9 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
                  jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1,
             )
 
-        return cur_t, t_naive, t_true, rgb_d, ncontrib
+        return t_naive, t_true, rgb_d, ncontrib
 
     init = (
-        tb0,
         jnp.ones((pix, 1), _f32),
         jnp.ones((pix, 1), _f32),
         jnp.zeros((pix, 4), _f32),
@@ -283,9 +291,9 @@ def _fwd_kernel(cs_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
-                buf, dbuf, sems, wsems, *, grid_x: int, chunk: int,
-                tile: int, bt: int, skip_dead: bool = True):
+def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
+                dfeat_hbm, buf, dbuf, sems, wsems, *, grid_x: int,
+                chunk: int, tile: int, bt: int, skip_dead: bool = True):
     """Reverse sweep over the same contiguous chunk range of ``bt`` tiles."""
     pix = tile * tile
     b = pl.program_id(0)
@@ -294,7 +302,6 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
     cs1 = cs_ref[tb0 + bt]
     nk = cs1 - cs0
     _, incl_lower, strict_lower = _tri_masks(chunk)
-    ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     p6 = _local_monomials(tile)
     mono = _monomial_cols(tile)
@@ -318,7 +325,7 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         get_read_dma(0, cs1 - 1).start()
 
     def body(i, carry):
-        cur_t, t_run, s_run = carry   # T after chunk end; suffix sum of u
+        t_run, s_run = carry          # T after chunk end; suffix sum of u
         k = cs1 - 1 - i
         slot = jax.lax.rem(i, 2)
 
@@ -326,10 +333,7 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         def _():
             get_read_dma(1 - slot, k - 1).start()
 
-        # Reverse tile advance: move down while k is before cur_t's range.
-        cur_t = jax.lax.while_loop(
-            lambda t: k < cs_ref[t], lambda t: t - 1, cur_t
-        )
+        cur_t = ct_ref[k]             # tile owning chunk k
         first = k == cs_ref[cur_t + 1] - 1   # first in REVERSE order
 
         fwd = fwd_ref[cur_t - tb0]           # [PIX, OUT_CH]
@@ -384,8 +388,11 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
                  jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
                 axis=0,
             )
-            t_run_n = t_run * jnp.exp(_dot(r, ones_c))
-            s_run_n = s_run + _dot(u, ones_c)
+            # Full-chunk carries read off existing matmul columns instead
+            # of two more [C,1] matmuls: t_g[:,0] already holds
+            # t_run * exp(sum r); s_g[:,0] + u[:,0] = s_run + sum u.
+            t_run_n = t_g[:, 0:1]
+            s_run_n = s_g[:, 0:1] + u[:, 0:1]
             return dfeat, t_run_n, s_run_n
 
         def dead_chunk(feat, gd, kt, t_run, s_run):
@@ -415,9 +422,9 @@ def _bwd_kernel(cs_ref, off_ref, feat_hbm, fwd_ref, gout_ref, dfeat_hbm,
         dbuf[wslot] = dfeat
         get_write_dma(wslot, k).start()
 
-        return cur_t, t_run, s_run
+        return t_run, s_run
 
-    init = (tb0 + bt - 1, jnp.ones((pix, 1), _f32), jnp.zeros((pix, 1), _f32))
+    init = (jnp.ones((pix, 1), _f32), jnp.zeros((pix, 1), _f32))
     jax.lax.fori_loop(0, nk, body, init)
 
     # Drain outstanding writes.
@@ -460,6 +467,21 @@ def _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt):
     ])
 
 
+def _chunk_tiles(chunk_starts, n_chunks, k_aligned, chunk):
+    """[cap_chunks] global tile id owning each aligned chunk.
+
+    Replaces the kernels' per-chunk while_loop tile advance with one SMEM
+    lookup. Tile lists are back-to-back, so chunk c belongs to the first
+    tile whose cumulative end exceeds c (empty tiles skipped, matching the
+    while_loop semantics). Chunks past the real demand are never visited;
+    searchsorted assigns them num_tiles, which is fine.
+    """
+    cap_chunks = k_aligned // chunk
+    ends = chunk_starts + n_chunks                  # [T] cumulative ends
+    c = jnp.arange(cap_chunks, dtype=jnp.int32)
+    return jnp.searchsorted(ends, c, side="right").astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid_x", "num_tiles", "chunk", "tile", "bt")
 )
@@ -475,10 +497,11 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
         tile_offset = jnp.zeros((1,), jnp.int32)
     n_blocks, bt = _blocks(num_tiles, bt)
     cs_ext = _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt)
+    ct = _chunk_tiles(chunk_starts, n_chunks, dup_feat.shape[1], chunk)
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
                                tile=tile, bt=bt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -496,7 +519,7 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
         out_shape=jax.ShapeDtypeStruct((n_blocks * bt, pix, OUT_CH), _f32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(cs_ext, tile_offset, dup_feat)
+    )(cs_ext, ct, tile_offset, dup_feat)
     return out[:num_tiles]
 
 
@@ -514,6 +537,7 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         tile_offset = jnp.zeros((1,), jnp.int32)
     n_blocks, bt = _blocks(num_tiles, bt)
     cs_ext = _extend_starts(chunk_starts, n_chunks, num_tiles, n_blocks, bt)
+    ct = _chunk_tiles(chunk_starts, n_chunks, dup_feat.shape[1], chunk)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                tile=tile, bt=bt, skip_dead=skip_dead)
     k_aligned = dup_feat.shape[1]
@@ -522,7 +546,7 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         fwd_out = jnp.pad(fwd_out, ((0, pad_tiles), (0, 0), (0, 0)))
         g_out = jnp.pad(g_out, ((0, pad_tiles), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -545,5 +569,5 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_aligned), _f32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(cs_ext, tile_offset, dup_feat, fwd_out, g_out)
+    )(cs_ext, ct, tile_offset, dup_feat, fwd_out, g_out)
     return out

@@ -1,11 +1,12 @@
-"""Inverse grid-sample: scatter values into 2D grids (texture baking).
+"""Inverse grid-sample: scatter values into 2D/3D grids (texture baking).
 
 jnp port of the reference's ``grid_put.py`` scatter family
-(/root/reference/grid_put.py): bilinear scatter-add with counts, and the
-mipmap variant that fills texels unseen at full resolution from coarser
-levels. Used by the stage-1 texture bake (/root/reference/main.py:494-506)
-and completed by a host-side KNN inpaint for texels no view ever saw
-(/root/reference/main.py:517-535).
+(/root/reference/grid_put.py): nearest/bilinear/trilinear scatter-add
+with counts, the mipmap variants that fill texels unseen at full
+resolution from coarser levels, and the ``grid_put`` mode dispatcher.
+The 2D bilinear path is used by the stage-1 texture bake
+(/root/reference/main.py:494-506) and completed by a host-side KNN
+inpaint for texels no view ever saw (/root/reference/main.py:517-535).
 
 All scatters are ``.at[].add`` — XLA lowers them to efficient sorted
 segment-sums on TPU.
@@ -93,6 +94,164 @@ def mipmap_linear_grid_put_2d(
     if return_count:
         return result, count
     return result / jnp.maximum(count[..., None], 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "return_count"))
+def nearest_grid_put_2d(h: int, w: int, coords, values, return_count=False):
+    """Nearest-cell scatter (/root/reference/grid_put.py:57-81). Coord
+    dim i -> grid dim i ((h, w) order), matching the reference; note our
+    bilinear 2D functions take (x, y) order instead (their callers pass
+    uv directly, where the reference's bake swaps to (v, u))."""
+    yi = jnp.clip(
+        jnp.round((coords[:, 0] * 0.5 + 0.5) * (h - 1)).astype(jnp.int32),
+        0, h - 1,
+    )
+    xi = jnp.clip(
+        jnp.round((coords[:, 1] * 0.5 + 0.5) * (w - 1)).astype(jnp.int32),
+        0, w - 1,
+    )
+    accum = jnp.zeros((h, w, values.shape[-1]), values.dtype)
+    count = jnp.zeros((h, w), values.dtype)
+    accum = accum.at[yi, xi].add(values)
+    count = count.at[yi, xi].add(1.0)
+    if return_count:
+        return accum, count
+    return accum / jnp.maximum(count[..., None], 1e-10)
+
+
+def _trilinear_scatter(h: int, w: int, d: int, coords, values):
+    """Scatter values [N, C] at coords [N, 3] in [-1, 1] ((h, w, d) axis
+    order, reference convention) -> (accum [H,W,D,C], count [H,W,D]).
+
+    Corner handling matches /root/reference/grid_put.py:186-240: the base
+    corner is clamped to dim-2 BEFORE the fractions are taken, so the +1
+    corner never clamps and edge samples put full weight on the last cell.
+    """
+    c = values.shape[-1]
+    fs = []
+    base = []
+    for axis, dim in enumerate((h, w, d)):
+        pos = (coords[:, axis] * 0.5 + 0.5) * (dim - 1)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, dim - 2)
+        base.append(i0)
+        fs.append(pos - i0.astype(values.dtype))
+    accum = jnp.zeros((h, w, d, c), values.dtype)
+    count = jnp.zeros((h, w, d), values.dtype)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = (
+                    (fs[0] if dz else 1 - fs[0])
+                    * (fs[1] if dy else 1 - fs[1])
+                    * (fs[2] if dx else 1 - fs[2])
+                )
+                accum = accum.at[base[0] + dz, base[1] + dy, base[2] + dx].add(
+                    values * wgt[:, None]
+                )
+                count = count.at[base[0] + dz, base[1] + dy, base[2] + dx].add(
+                    wgt
+                )
+    return accum, count
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "return_count"))
+def linear_grid_put_3d(h: int, w: int, d: int, coords, values,
+                       return_count=False):
+    """Trilinear scatter (/root/reference/grid_put.py:186-240)."""
+    accum, count = _trilinear_scatter(h, w, d, coords, values)
+    if return_count:
+        return accum, count
+    return accum / jnp.maximum(count[..., None], 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "return_count"))
+def nearest_grid_put_3d(h: int, w: int, d: int, coords, values,
+                        return_count=False):
+    """Nearest-cell 3D scatter (/root/reference/grid_put.py:160-183)."""
+    idx = []
+    for axis, dim in enumerate((h, w, d)):
+        idx.append(jnp.clip(
+            jnp.round(
+                (coords[:, axis] * 0.5 + 0.5) * (dim - 1)
+            ).astype(jnp.int32),
+            0, dim - 1,
+        ))
+    accum = jnp.zeros((h, w, d, values.shape[-1]), values.dtype)
+    count = jnp.zeros((h, w, d), values.dtype)
+    accum = accum.at[idx[0], idx[1], idx[2]].add(values)
+    count = count.at[idx[0], idx[1], idx[2]].add(1.0)
+    if return_count:
+        return accum, count
+    return accum / jnp.maximum(count[..., None], 1e-10)
+
+
+def mipmap_linear_grid_put_3d(
+    h: int,
+    w: int,
+    d: int,
+    coords,
+    values,
+    min_resolution: int = 32,
+    return_count: bool = False,
+):
+    """Trilinear scatter with coarse-to-fine hole filling
+    (/root/reference/grid_put.py:242-273). Same no-host-sync design as the
+    2D variant: every mip level runs; the hole mask keeps coarser levels
+    out of texels already seen, so one jit covers the whole pyramid."""
+    result = jnp.zeros((h, w, d, values.shape[-1]), values.dtype)
+    count = jnp.zeros((h, w, d), values.dtype)
+    cur = [h, w, d]
+    while min(cur) > min_resolution:
+        grid, cnt = linear_grid_put_3d(*cur, coords, values,
+                                       return_count=True)
+        if tuple(cur) != (h, w, d):
+            grid = jax.image.resize(
+                grid, (h, w, d, grid.shape[-1]), "trilinear"
+            )
+            cnt = jax.image.resize(cnt, (h, w, d), "trilinear")
+        hole = count == 0
+        result = jnp.where(hole[..., None], result + grid, result)
+        count = jnp.where(hole, count + cnt, count)
+        cur = [m // 2 for m in cur]
+    if return_count:
+        return result, count
+    return result / jnp.maximum(count[..., None], 1e-10)
+
+
+def grid_put(shape, coords, values, mode: str = "linear-mipmap",
+             min_resolution: int = 32, return_raw: bool = False):
+    """Mode dispatcher matching /root/reference/grid_put.py:276-299.
+
+    shape: (H, W) or (H, W, D); coords [N, len(shape)] in [-1, 1] with
+    coord dim i -> grid dim i (the reference's convention for ALL its
+    grid functions; its bake call site swaps uv->(v,u) accordingly,
+    /root/reference/main.py:496); values [N, C]. mode in
+    {nearest, linear, linear-mipmap}. Our internal bilinear-2D functions
+    take (x, y) order, so the 2D linear paths swap here.
+    """
+    dim = len(shape)
+    if dim not in (2, 3):
+        raise ValueError(f"only 2D/3D grids supported, got {dim}D")
+    if mode == "nearest":
+        fn = nearest_grid_put_2d if dim == 2 else nearest_grid_put_3d
+        return fn(*shape, coords, values, return_count=return_raw)
+    if mode == "linear":
+        if dim == 2:
+            return linear_grid_put_2d(*shape, coords[:, ::-1], values,
+                                      return_count=return_raw)
+        return linear_grid_put_3d(*shape, coords, values,
+                                  return_count=return_raw)
+    if mode == "linear-mipmap":
+        if dim == 2:
+            return mipmap_linear_grid_put_2d(
+                *shape, coords[:, ::-1], values,
+                min_resolution=min_resolution, return_count=return_raw,
+            )
+        return mipmap_linear_grid_put_3d(
+            *shape, coords, values, min_resolution=min_resolution,
+            return_count=return_raw,
+        )
+    raise ValueError(f"unknown grid_put mode {mode!r}")
 
 
 def knn_inpaint(grid: np.ndarray, mask: np.ndarray, k: int = 1) -> np.ndarray:

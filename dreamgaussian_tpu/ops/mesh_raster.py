@@ -224,22 +224,74 @@ def sample_texture_mip(
 
     chain: build_mip_chain output; uv [H,W,2] in [0,1]; uv_dx/uv_dy its
     screen-space derivatives. Per-pixel LOD = log2(max footprint in
-    texels); the tent weight max(0, 1-|lod-l|) over levels IS the linear
-    blend between the two adjacent mips.
+    texels); the result linearly blends the two adjacent mips.
+
+    Implementation: the chain is packed into ONE flat [S, C] atlas and
+    each pixel gathers exactly its two adjacent levels (4 texels each)
+    through per-pixel level offsets/sizes — 8 full-screen gathers total,
+    independent of chain depth. The previous sample-every-level-and-
+    tent-weight formulation cost 4*len(chain) gathers (36 at 1024^2) and
+    dominated the whole stage-2 mesh render (~70 ms of a 115 ms frame at
+    512^2 on v5e); this form is numerically identical (the tent weight
+    max(0, 1-|lod-l|) is nonzero only at floor/ceil of lod).
     """
     th, tw = chain[0].shape[0], chain[0].shape[1]
+    n_levels = len(chain)
+    c = chain[0].shape[-1]
+
     sizes = jnp.asarray([tw, th], jnp.float32)
     rho = jnp.maximum(
         jnp.linalg.norm(uv_dx * sizes, axis=-1),
         jnp.linalg.norm(uv_dy * sizes, axis=-1),
     )
-    n_levels = len(chain)
     lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, n_levels - 1.0)
-    out = 0.0
-    for lvl, tex in enumerate(chain):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(lod - lvl))[..., None]
-        out = out + w * sample_texture(tex, uv)
-    return out
+
+    # Flat atlas + static per-level geometry tables.
+    flat = jnp.concatenate([t.reshape(-1, c) for t in chain], axis=0)
+    offs, ths, tws = [], [], []
+    off = 0
+    for t in chain:
+        offs.append(off)
+        ths.append(t.shape[0])
+        tws.append(t.shape[1])
+        off += t.shape[0] * t.shape[1]
+    offs = jnp.asarray(offs, jnp.int32)
+    ths = jnp.asarray(ths, jnp.int32)
+    tws = jnp.asarray(tws, jnp.int32)
+
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+
+    u = jnp.clip(uv[..., 0], 0.0, 1.0)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0)
+
+    def sample_level(lidx):
+        o = offs[lidx]                        # [H, W] int32
+        lw = tws[lidx]
+        lh = ths[lidx]
+        x = u * (lw - 1).astype(jnp.float32)
+        y = v * (lh - 1).astype(jnp.float32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, lw - 1)
+        y1 = jnp.minimum(y0 + 1, lh - 1)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        t00 = flat[o + y0 * lw + x0]
+        t01 = flat[o + y0 * lw + x1]
+        t10 = flat[o + y1 * lw + x0]
+        t11 = flat[o + y1 * lw + x1]
+        return (
+            t00 * (1 - fx) * (1 - fy)
+            + t01 * fx * (1 - fy)
+            + t10 * (1 - fx) * fy
+            + t11 * fx * fy
+        )
+
+    s0 = sample_level(l0)
+    s1 = sample_level(l1)
+    return s0 * (1 - frac) + s1 * frac
 
 
 def sample_texture(

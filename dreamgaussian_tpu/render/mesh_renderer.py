@@ -137,7 +137,13 @@ def render_mesh(
     rast = rasterize(v_clip, state.f, w, h, tile=tile, max_tiles=max_tiles,
                      derivs=mip)
     alpha = rast.mask.astype(jnp.float32)[..., None]
-    depth = interpolate(v_cam_z, state.f, rast)
+    # Depth and normals share the ``f`` index set: one interpolate (one
+    # faces[fidx] + one attrs[tri] gather) covers both.
+    vn = _recompute_normals(v, state.f) if train_geo else state.vn
+    dn = interpolate(
+        jnp.concatenate([v_cam_z, vn], axis=1), state.f, rast
+    )
+    depth = dn[..., 0:1]
 
     # texture-filter the LOGITS, sigmoid after (mesh_renderer.py:110-112).
     if mip:
@@ -158,8 +164,7 @@ def render_mesh(
         texc = interpolate(state.vt, state.ft, rast)
         albedo = jax.nn.sigmoid(sample_texture(state.raw_albedo, texc))
 
-    vn = _recompute_normals(v, state.f) if train_geo else state.vn
-    normal = _safe_normalize(interpolate(vn, state.f, rast))
+    normal = _safe_normalize(dn[..., 1:4])
     rot_normal = normal @ pose_rot
     viewcos = rot_normal[..., 2:3]
 

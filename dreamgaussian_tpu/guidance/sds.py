@@ -115,6 +115,25 @@ def _fused_ddim_loop(sch: DDIMScheduler, steps: int, latents, key, strength,
     return jax.lax.fori_loop(init_step, steps, body, latents)
 
 
+def _full_ddim_sample(sch: DDIMScheduler, steps: int, latents, denoise):
+    """Full-chain DDIM from PURE-NOISE latents (txt2img sampling).
+
+    The reference's standalone samplers start from x_T ~ N(0, I) and walk
+    every timestep of the leading-spaced schedule
+    (/root/reference/guidance/sd_utils.py:209-250 produce_latents); here
+    the whole chain is one traced ``fori_loop`` so a jitted caller
+    dispatches it as a single program.
+    """
+    spacing = sch.num_train_timesteps // steps
+    ts_arr = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32) * spacing
+
+    def body(i, lat):
+        t = ts_arr[i]
+        return sch.step_with_spacing(denoise(lat, t), t, lat, spacing)
+
+    return jax.lax.fori_loop(0, steps, body, latents)
+
+
 def _resize(images, size):
     b = images.shape[0]
     return jax.image.resize(
@@ -272,6 +291,44 @@ class StableDiffusionGuidance:
             latents = _fused_ddim_loop(
                 sch, steps, latents, key, strength, denoise
             )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
+    def sample_fn(self, steps: int = 50, guidance_scale: float = 7.5,
+                  batch: int = 1, latent_channels: int = 4):
+        """Text-to-image sampler — the reference's standalone guidance
+        demo (/root/reference/guidance/sd_utils.py:269-305 prompt_to_img):
+        DDIM from pure noise with CFG (default scale 7.5, not the SDS
+        100), fused into ONE jitted call.
+
+        Returns ``fn(key, gp=None) -> images [batch, S, S, 3] in [0,1]``.
+        """
+        bk = self.backbone
+        sch = bk.scheduler
+
+        def fn(key, gp=None):
+            unet_apply, _ = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            latents = jax.random.normal(
+                key,
+                (batch, bk.latent_size, bk.latent_size, latent_channels),
+            )
+            pos = jnp.broadcast_to(
+                self.emb["pos"][None], (batch,) + self.emb["pos"].shape
+            )
+            neg = jnp.broadcast_to(
+                self.emb["neg"][None], (batch,) + self.emb["neg"].shape
+            )
+            ctx = jnp.concatenate([pos, neg])
+
+            def denoise(lat, t):
+                t_in = jnp.full((2 * batch,), t, jnp.int32)
+                eps = unet_apply(jnp.concatenate([lat] * 2), t_in, ctx)
+                eps_cond, eps_uncond = jnp.split(eps, 2)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _full_ddim_sample(sch, steps, latents, denoise)
             return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
 
         return jax.jit(fn)
@@ -604,6 +661,46 @@ class MVDreamGuidance:
 
         return jax.jit(fn)
 
+    def sample_fn(self, steps: int = 30, guidance_scale: float = 7.5,
+                  latent_channels: int = 4):
+        """Text-to-multiview sampler — the reference's standalone demo
+        (/root/reference/guidance/mvdream_utils.py:204-277 prompt_to_img):
+        4 jointly-denoised views from pure noise, CFG 7.5, as ONE jitted
+        call. Returns ``fn(poses [4,4,4], key, gp=None) -> [4, S, S, 3]``.
+        """
+        bk = self.backbone
+        sch = bk.scheduler
+        b = self.num_views
+
+        def fn(poses, key, gp=None):
+            unet_apply, _ = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            latents = jax.random.normal(
+                key, (b, bk.latent_size, bk.latent_size, latent_channels)
+            )
+            cam16 = mvdream_camera(jnp.asarray(poses, jnp.float32))
+            cam_in = jnp.concatenate([cam16] * 2)
+            pos = jnp.broadcast_to(
+                self.emb["pos"][None], (b,) + self.emb["pos"].shape
+            )
+            neg = jnp.broadcast_to(
+                self.emb["neg"][None], (b,) + self.emb["neg"].shape
+            )
+            ctx = jnp.concatenate([neg, pos])
+
+            def denoise(lat, t):
+                t_in = jnp.full((2 * b,), t, jnp.int32)
+                eps = unet_apply(
+                    jnp.concatenate([lat] * 2), t_in, ctx, camera=cam_in
+                )
+                eps_uncond, eps_cond = jnp.split(eps, 2)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _full_ddim_sample(sch, steps, latents, denoise)
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
 
 class ImageDreamGuidance:
     """Image+text 4(+1)-view joint SDS
@@ -837,6 +934,64 @@ class ImageDreamGuidance:
             latents = _fused_ddim_loop(
                 sch, steps, latents, key, strength, denoise
             )
+            return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
+    def sample_fn(self, steps: int = 30, guidance_scale: float = 5.0,
+                  latent_channels: int = 4):
+        """Image+text-to-multiview sampler — the reference's standalone
+        demo (/root/reference/guidance/imagedream_utils.py:228-324
+        prompt_to_img): 4 views from pure noise, the 5th (identity) view
+        padded per step exactly as the refine path. One jitted call.
+        Returns ``fn(poses [4,4,4], key, gp=None) -> [4, S, S, 3]``.
+        """
+        bk = self.backbone
+        sch = bk.scheduler
+        b = self.num_views
+        rb = 1
+
+        def fn(poses, key, gp=None):
+            unet_apply, _ = _applies(bk, gp)
+            vae_decode = _decode(bk, gp)
+            latents = jax.random.normal(
+                key, (b, bk.latent_size, bk.latent_size, latent_channels)
+            )
+            n5 = rb * (self.num_views + 1)
+            cam16 = self._pad_views(
+                mvdream_camera(jnp.asarray(poses, jnp.float32))
+            )
+            cam_in = jnp.concatenate([cam16] * 2)
+            text_pos = jnp.broadcast_to(
+                self.emb["pos"][None], (n5,) + self.emb["pos"].shape
+            )
+            text_neg = jnp.broadcast_to(self.emb["neg"][None], text_pos.shape)
+            ctx = jnp.concatenate([text_neg, text_pos])
+            ip_pos = jnp.broadcast_to(
+                self.img_emb["pos"][None], (n5,) + self.img_emb["pos"].shape
+            )
+            ip = jnp.concatenate([jnp.zeros_like(ip_pos), ip_pos])
+            ip_img_pos = jnp.broadcast_to(
+                self.img_emb["ip_img"][None],
+                (rb,) + self.img_emb["ip_img"].shape,
+            )
+            ip_img = jnp.concatenate([jnp.zeros_like(ip_img_pos), ip_img_pos])
+
+            def denoise(lat, t):
+                t5 = self._pad_views(
+                    jnp.full((b,), t, jnp.float32), mode="repeat"
+                )
+                x_in = jnp.concatenate([self._pad_views(lat)] * 2)
+                eps5 = unet_apply(
+                    x_in, jnp.concatenate([t5] * 2), ctx, camera=cam_in,
+                    ip=ip, ip_img=ip_img,
+                )
+                eps_uncond5, eps_cond5 = jnp.split(eps5, 2)
+                eps_uncond = self._strip_views(eps_uncond5)
+                eps_cond = self._strip_views(eps_cond5)
+                return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            latents = _full_ddim_sample(sch, steps, latents, denoise)
             return jnp.clip(vae_decode(latents) * 0.5 + 0.5, 0.0, 1.0)
 
         return jax.jit(fn)

@@ -171,3 +171,34 @@ class TestSHDegree:
         assert deg == 1
         out = tr.render_view(tr.fixed_cam)
         assert np.isfinite(np.asarray(out.image)).all()
+
+
+class TestDreamCLI:
+    """Standalone sampler demos (cli/dream.py) in --fake smoke mode."""
+
+    def test_sd_txt2img(self, tmp_path):
+        from dreamgaussian_tpu.cli import dream
+
+        out = str(tmp_path / "sd.png")
+        dream.main(["a photo of a hamburger", "--fake", "--steps", "4",
+                    "--out", out])
+        img = np.asarray(Image.open(out))
+        assert img.shape == (64, 64, 3)
+
+    def test_mvdream_grid(self, tmp_path):
+        from dreamgaussian_tpu.cli import dream
+
+        out = str(tmp_path / "mv.png")
+        dream.main(["an astronaut", "--mode", "mvdream", "--fake",
+                    "--steps", "4", "--out", out])
+        img = np.asarray(Image.open(out))
+        assert img.shape == (128, 128, 3)
+
+    def test_imagedream_grid(self, tmp_path, tiny_input):
+        from dreamgaussian_tpu.cli import dream
+
+        out = str(tmp_path / "id.png")
+        dream.main(["a cartoon disc", "--mode", "imagedream", "--image",
+                    tiny_input, "--fake", "--steps", "4", "--out", out])
+        img = np.asarray(Image.open(out))
+        assert img.shape == (128, 128, 3)

@@ -402,3 +402,63 @@ class TestFusedRefine:
         fn(imgs, cond, 0.81, key, gp)
         fn(imgs, cond, 0.95, key, gp)
         assert fn._cache_size() == n0
+
+
+class TestSampleFn:
+    """Pure-noise samplers (the reference's standalone guidance demos)."""
+
+    def _poses(self):
+        from dreamgaussian_tpu.utils.camera import orbit_camera
+
+        return jnp.asarray(
+            np.stack([orbit_camera(0, h, 2.0) for h in (0, 90, 180, -90)])
+        )
+
+    def test_sd_sample_shape_and_range(self):
+        from dreamgaussian_tpu.guidance.fake import fake_sd_guidance
+
+        g = fake_sd_guidance()
+        fn = g.sample_fn(steps=8)
+        out = np.asarray(fn(jax.random.PRNGKey(0)))
+        assert out.shape == (1, 64, 64, 3)
+        assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+    def test_sd_sample_deterministic_per_key(self):
+        from dreamgaussian_tpu.guidance.fake import fake_sd_guidance
+
+        g = fake_sd_guidance()
+        fn = g.sample_fn(steps=6)
+        a = np.asarray(fn(jax.random.PRNGKey(1)))
+        b = np.asarray(fn(jax.random.PRNGKey(1)))
+        c = np.asarray(fn(jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 0
+
+    def test_sample_walks_full_chain(self):
+        """The sampler must start at the LARGEST timestep (pure noise)
+        and consume every step: a 1-step and an 8-step sample from the
+        same key must differ (they share only the final t=0-ish step)."""
+        from dreamgaussian_tpu.guidance.fake import fake_sd_guidance
+
+        g = fake_sd_guidance()
+        one = np.asarray(g.sample_fn(steps=1)(jax.random.PRNGKey(3)))
+        many = np.asarray(g.sample_fn(steps=8)(jax.random.PRNGKey(3)))
+        assert np.abs(one - many).max() > 1e-6
+
+    def test_mvdream_sample_4views(self):
+        from dreamgaussian_tpu.guidance.fake import fake_mvdream_guidance
+
+        g = fake_mvdream_guidance()
+        fn = g.sample_fn(steps=6)
+        out = np.asarray(fn(self._poses(), jax.random.PRNGKey(0)))
+        assert out.shape == (4, 64, 64, 3)
+        assert np.isfinite(out).all()
+
+    def test_imagedream_sample_4views(self):
+        from dreamgaussian_tpu.guidance.fake import fake_imagedream_guidance
+
+        g = fake_imagedream_guidance()
+        fn = g.sample_fn(steps=6)
+        out = np.asarray(fn(self._poses(), jax.random.PRNGKey(0)))
+        assert out.shape == (4, 64, 64, 3)
+        assert np.isfinite(out).all()

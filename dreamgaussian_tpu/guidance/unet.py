@@ -276,7 +276,8 @@ class Resampler(nn.Module):
             )
             h = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype,
                          name=f"layers_{i}_ff_in")(h)
-            h = nn.gelu(h)
+            # torch nn.GELU() is the exact (erf) form.
+            h = nn.gelu(h, approximate=False)
             h = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                          name=f"layers_{i}_ff_out")(h)
             latents = latents + h
@@ -294,7 +295,8 @@ class FeedForward(nn.Module):
         inner = self.dim * 4
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu, not the tanh approximation.
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 

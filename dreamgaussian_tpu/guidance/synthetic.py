@@ -34,6 +34,21 @@ from .vae import VAEConfig
 
 # Tiny full-architecture configs (every pathway present, non-square dims
 # wherever possible so layout mistakes change shapes).
+TINY_SD_CONFIG = UNetConfig(
+    block_out_channels=(8, 16), layers_per_block=1,
+    cross_attention_dim=24, num_attention_heads=2,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    use_linear_projection=True,
+)
+# zero123 is SD1.5-based: 8-ch input, conv transformer projections.
+TINY_ZERO123_CONFIG = UNetConfig(
+    in_channels=8, block_out_channels=(8, 16), layers_per_block=1,
+    cross_attention_dim=24, num_attention_heads=2,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    use_linear_projection=False,
+)
 TINY_MVDREAM_CONFIG = UNetConfig(
     block_out_channels=(8, 16), layers_per_block=1,
     cross_attention_dim=24, num_attention_heads=2,
@@ -278,6 +293,150 @@ def synth_open_clip_text(cfg: OpenCLIPTextConfig, seed: int = 2,
         _linear(sd, bp + ".mlp.c_proj", w, 4 * w, r)
     _norm(sd, g("ln_final"), w, r)
     sd[g("text_projection")] = r(w, w)  # dead weight, present in real ckpts
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Diffusers snapshot layout (SD 2.1-base, ashawkey/zero123-*-diffusers).
+# Mirrors the torch UNet2DConditionModel / AutoencoderKL module structure
+# independently of convert.py.
+# ---------------------------------------------------------------------------
+
+
+def _df_resnet(sd, p, in_c, out_c, temb, r):
+    _norm(sd, p + ".norm1", in_c, r)
+    _conv3(sd, p + ".conv1", out_c, in_c, r)
+    _linear(sd, p + ".time_emb_proj", out_c, temb, r)
+    _norm(sd, p + ".norm2", out_c, r)
+    _conv3(sd, p + ".conv2", out_c, out_c, r)
+    if in_c != out_c:
+        _conv3(sd, p + ".conv_shortcut", out_c, in_c, r, k=1)
+
+
+def _df_transformer(sd, p, ch, ctx_dim, r, linear_proj: bool, depth: int = 1):
+    _norm(sd, p + ".norm", ch, r)
+    if linear_proj:
+        _linear(sd, p + ".proj_in", ch, ch, r)
+        _linear(sd, p + ".proj_out", ch, ch, r)
+    else:
+        _conv3(sd, p + ".proj_in", ch, ch, r, k=1)
+        _conv3(sd, p + ".proj_out", ch, ch, r, k=1)
+    for i in range(depth):
+        tp = f"{p}.transformer_blocks.{i}"
+        _norm(sd, tp + ".norm1", ch, r)
+        for qkv, d in (("to_q", ch), ("to_k", ch), ("to_v", ch)):
+            _linear(sd, f"{tp}.attn1.{qkv}", ch, d, r, bias=False)
+        _linear(sd, tp + ".attn1.to_out.0", ch, ch, r)
+        _norm(sd, tp + ".norm2", ch, r)
+        _linear(sd, tp + ".attn2.to_q", ch, ch, r, bias=False)
+        _linear(sd, tp + ".attn2.to_k", ch, ctx_dim, r, bias=False)
+        _linear(sd, tp + ".attn2.to_v", ch, ctx_dim, r, bias=False)
+        _linear(sd, tp + ".attn2.to_out.0", ch, ch, r)
+        _norm(sd, tp + ".norm3", ch, r)
+        _linear(sd, tp + ".ff.net.0.proj", ch * 8, ch, r)  # GEGLU 2x4x
+        _linear(sd, tp + ".ff.net.2", ch, ch * 4, r)
+
+
+def synth_diffusers_unet(cfg: UNetConfig, seed: int = 0) -> dict:
+    """Random UNet2DConditionModel-layout state dict for ``cfg``."""
+    r = _R(seed)
+    sd: dict = {}
+    ch = list(cfg.block_out_channels)
+    temb = ch[0] * 4
+    ctx = cfg.cross_attention_dim
+    ulp = cfg.use_linear_projection
+    _linear(sd, "time_embedding.linear_1", temb, ch[0], r)
+    _linear(sd, "time_embedding.linear_2", temb, temb, r)
+    _conv3(sd, "conv_in", ch[0], cfg.in_channels, r)
+    h = ch[0]
+    for i, btype in enumerate(cfg.down_block_types):
+        for j in range(cfg.layers_per_block):
+            _df_resnet(sd, f"down_blocks.{i}.resnets.{j}", h, ch[i], temb, r)
+            h = ch[i]
+            if btype == "CrossAttnDownBlock2D":
+                _df_transformer(
+                    sd, f"down_blocks.{i}.attentions.{j}", ch[i], ctx, r, ulp
+                )
+        if i < len(ch) - 1:
+            _conv3(sd, f"down_blocks.{i}.downsamplers.0.conv", h, h, r)
+    _df_resnet(sd, "mid_block.resnets.0", h, ch[-1], temb, r)
+    _df_transformer(sd, "mid_block.attentions.0", ch[-1], ctx, r, ulp)
+    _df_resnet(sd, "mid_block.resnets.1", ch[-1], ch[-1], temb, r)
+    skips = [ch[0]]
+    for i, btype in enumerate(cfg.down_block_types):
+        for j in range(cfg.layers_per_block):
+            skips.append(ch[i])
+        if i < len(ch) - 1:
+            skips.append(ch[i])
+    rev = list(reversed(ch))
+    for i, btype in enumerate(cfg.up_block_types):
+        c = rev[i]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            _df_resnet(sd, f"up_blocks.{i}.resnets.{j}", h + skip, c, temb, r)
+            h = c
+            if btype == "CrossAttnUpBlock2D":
+                _df_transformer(
+                    sd, f"up_blocks.{i}.attentions.{j}", c, ctx, r, ulp
+                )
+        if i < len(cfg.up_block_types) - 1:
+            _conv3(sd, f"up_blocks.{i}.upsamplers.0.conv", h, h, r)
+    _norm(sd, "conv_norm_out", h, r)
+    _conv3(sd, "conv_out", cfg.out_channels, h, r)
+    return sd
+
+
+def synth_diffusers_vae(cfg: VAEConfig, seed: int = 1) -> dict:
+    """Random AutoencoderKL-layout state dict for ``cfg``."""
+    r = _R(seed)
+    sd: dict = {}
+    chans = list(cfg.block_out_channels)
+    n = len(chans)
+    lat = cfg.latent_channels
+
+    def vres(p, in_c, out_c):
+        _norm(sd, p + ".norm1", in_c, r)
+        _conv3(sd, p + ".conv1", out_c, in_c, r)
+        _norm(sd, p + ".norm2", out_c, r)
+        _conv3(sd, p + ".conv2", out_c, out_c, r)
+        if in_c != out_c:
+            _conv3(sd, p + ".conv_shortcut", out_c, in_c, r, k=1)
+
+    def vattn(p, c):
+        _norm(sd, p + ".group_norm", c, r)
+        for nm in ("to_q", "to_k", "to_v", "to_out.0"):
+            _linear(sd, f"{p}.{nm}", c, c, r)
+
+    _conv3(sd, "encoder.conv_in", chans[0], cfg.in_channels, r)
+    h = chans[0]
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            vres(f"encoder.down_blocks.{i}.resnets.{j}", h, ch)
+            h = ch
+        if i < n - 1:
+            _conv3(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                   ch, ch, r)
+    vres("encoder.mid_block.resnets.0", h, h)
+    vattn("encoder.mid_block.attentions.0", h)
+    vres("encoder.mid_block.resnets.1", h, h)
+    _norm(sd, "encoder.conv_norm_out", h, r)
+    _conv3(sd, "encoder.conv_out", 2 * lat, h, r)
+    _conv3(sd, "quant_conv", 2 * lat, 2 * lat, r, k=1)
+
+    _conv3(sd, "post_quant_conv", lat, lat, r, k=1)
+    _conv3(sd, "decoder.conv_in", chans[-1], lat, r)
+    h = chans[-1]
+    vres("decoder.mid_block.resnets.0", h, h)
+    vattn("decoder.mid_block.attentions.0", h)
+    vres("decoder.mid_block.resnets.1", h, h)
+    for i, ch in enumerate(reversed(chans)):
+        for j in range(cfg.layers_per_block + 1):
+            vres(f"decoder.up_blocks.{i}.resnets.{j}", h, ch)
+            h = ch
+        if i < n - 1:
+            _conv3(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", ch, ch, r)
+    _norm(sd, "decoder.conv_norm_out", h, r)
+    _conv3(sd, "decoder.conv_out", cfg.in_channels, h, r)
     return sd
 
 

@@ -350,7 +350,9 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, hh, ww, c = x.shape
         res = x
-        h = GroupNorm32(name="norm", dtype=self.dtype)(x)
+        # diffusers Transformer2DModel / ldm SpatialTransformer both build
+        # this norm with eps=1e-6 (unlike the 1e-5 resnet norms).
+        h = GroupNorm32(name="norm", epsilon=1e-6, dtype=self.dtype)(x)
         if self.use_linear_projection:
             h = h.reshape(b, hh * ww, c)
             h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)

@@ -1,1 +1,5 @@
-from .dp import make_data_mesh, make_dp_train_step  # noqa: F401
+from .dp import (  # noqa: F401
+    make_data_mesh,
+    make_dp_train_scan,
+    make_dp_train_step,
+)

@@ -55,7 +55,7 @@ def _render_one(params, cam_arrays, bg, width, height, sh_degree, alive,
     )
 
 
-def make_dp_train_step(
+def _make_step_body(
     mesh: Mesh,
     *,
     novel_size: int,
@@ -70,15 +70,11 @@ def make_dp_train_step(
     chunk: int = 128,
     tile_axis: str | None = None,
 ) -> Callable:
-    """Jitted multi-chip train step.
-
-    Expects novel cameras stacked as [data_size * views_per_device, ...]
-    (sharded over 'data'); params/adam/aux replicated. With ``tile_axis``
-    set (2D data x tile mesh), each render additionally shards its tile
-    grid over that axis — DP x SP composition. Returns (params, adam,
-    aux, {loss, overflow}) with identical replicated values (overflow =
-    psum of dropped binning duplicates across all views; see binning.py).
-    """
+    """Per-device SPMD body of one train iteration (called INSIDE
+    shard_map): local render+loss -> psum(grads/loss/stats) over 'data'
+    -> replicated Adam update + gated stat accumulation. Shared by
+    make_dp_train_step (one dispatch per step) and make_dp_train_scan
+    (K steps fused into one lax.scan dispatch)."""
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
 
     if tile_axis is not None:
@@ -142,16 +138,8 @@ def make_dp_train_step(
             loss += entry[0] * g / n_dev
         return loss, (radii_sum, overflow)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("data"), P(), P(), P(), P(),
-                  P("data"), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )
-    def sharded_step(params, adam, aux, step, known_cams, novel_cams, bg,
-                     ref_rgb, ref_mask, key, cond, gparams):
+    def step_body(params, adam, aux, step, known_cams, novel_cams, bg,
+                  ref_rgb, ref_mask, key, cond, accum, gparams):
         tap = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(local_loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (radii, overflow)), (grads, tap_grad) = grad_fn(
@@ -175,21 +163,170 @@ def make_dp_train_step(
             "rotation": lr_schedules["rotation"],
         }
         params, adam = adam_update(params, grads, adam, lrs)
-        aux = accumulate_stats(aux, tap_grad * (novel_size / 2.0), radii)
+        new_aux = accumulate_stats(aux, tap_grad * (novel_size / 2.0), radii)
+        aux = jax.tree.map(lambda a, b: jnp.where(accum, b, a), aux, new_aux)
         return params, adam, aux, {"loss": loss, "overflow": overflow}
+
+    return step_body
+
+
+def make_dp_train_step(
+    mesh: Mesh,
+    *,
+    novel_size: int,
+    ref_size: int,
+    sh_degree: int,
+    views_per_device: int,
+    use_known_view: bool,
+    warmup_rgb_loss: bool,
+    lr_schedules: dict,
+    guidance_fns: tuple = (),
+    max_tiles: int = 12,
+    chunk: int = 128,
+    tile_axis: str | None = None,
+) -> Callable:
+    """Jitted multi-chip train step.
+
+    Expects novel cameras stacked as [data_size * views_per_device, ...]
+    (sharded over 'data'); params/adam/aux replicated. With ``tile_axis``
+    set (2D data x tile mesh), each render additionally shards its tile
+    grid over that axis — DP x SP composition. Returns (params, adam,
+    aux, {loss, overflow}) with identical replicated values (overflow =
+    psum of dropped binning duplicates across all views; see binning.py).
+    """
+    step_body = _make_step_body(
+        mesh, novel_size=novel_size, ref_size=ref_size, sh_degree=sh_degree,
+        views_per_device=views_per_device, use_known_view=use_known_view,
+        warmup_rgb_loss=warmup_rgb_loss, lr_schedules=lr_schedules,
+        guidance_fns=guidance_fns, max_tiles=max_tiles, chunk=chunk,
+        tile_axis=tile_axis,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("data"), P(), P(), P(), P(),
+                  P("data"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def sharded_step(params, adam, aux, step, known_cams, novel_cams, bg,
+                     ref_rgb, ref_mask, key, cond_views, cond_static,
+                     gparams):
+        cond = {**cond_static, **cond_views}
+        return step_body(params, adam, aux, step, known_cams, novel_cams,
+                         bg, ref_rgb, ref_mask, key, cond,
+                         jnp.asarray(True), gparams)
 
     jitted = jax.jit(sharded_step)
 
     def step(params, adam, aux, step_, known_cams, novel_cams, bg,
-             ref_rgb, ref_mask, key, cond, gparams=()):
+             ref_rgb, ref_mask, key, cond, gparams=(), cond_views=None):
+        """``cond`` entries are replicated; per-view conditioning whose
+        leading axis matches the sharded view axis goes in ``cond_views``
+        (each device's guidance sees only its views' entries)."""
         if not gparams:
             gparams = tuple(
                 e[2] if len(e) > 2 else () for e in guidance_fns
             )
         return jitted(params, adam, aux, step_, known_cams, novel_cams,
-                      bg, ref_rgb, ref_mask, key, cond, gparams)
+                      bg, ref_rgb, ref_mask, key, cond_views or {}, cond,
+                      gparams)
 
     return step
+
+
+def make_dp_train_scan(
+    mesh: Mesh,
+    *,
+    novel_size: int,
+    ref_size: int,
+    sh_degree: int,
+    views_per_device: int,
+    use_known_view: bool,
+    warmup_rgb_loss: bool,
+    lr_schedules: dict,
+    densify_fn,
+    reset_fn,
+    guidance_fns: tuple = (),
+    max_tiles: int = 12,
+    chunk: int = 128,
+    tile_axis: str | None = None,
+) -> Callable:
+    """Fused multi-chip trainer: K steps as ONE sharded ``lax.scan``
+    dispatch — the DP/SP counterpart of train.stage1.make_train_scan.
+
+    Per-step host dispatch is the dominant cost on tunneled/remote TPUs
+    (PROGRESS.md: 0.52 s/iter unfused vs 20 ms fused); this runs the
+    whole K-step segment, including in-scan densify/prune and opacity
+    reset via ``lax.cond``, inside one shard_map'd scan. Densify/reset
+    consume only replicated values (psum'd stats + a shared key), so all
+    devices take identical branches and params stay replicated.
+
+    Call signature (all leading-K axes are scan steps):
+      scan_fn(params, adam, aux, known_cams, ref_rgb, ref_mask,
+              steps [K], novel_cams_seq {[K, V, ...]} (V sharded on
+              'data'), bgs [K,3], keys [K], cond_static {[K, ...]},
+              cond_views {[K, V, ...]} (sharded), accums [K],
+              densify_flags [K], reset_flags [K], densify_keys [K],
+              gparams) -> (params, adam, aux, metrics {[K]})
+    """
+    step_body = _make_step_body(
+        mesh, novel_size=novel_size, ref_size=ref_size, sh_degree=sh_degree,
+        views_per_device=views_per_device, use_known_view=use_known_view,
+        warmup_rgb_loss=warmup_rgb_loss, lr_schedules=lr_schedules,
+        guidance_fns=guidance_fns, max_tiles=max_tiles, chunk=chunk,
+        tile_axis=tile_axis,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),      # state + known refs
+                  P(), P(None, "data"), P(), P(),    # steps, novel, bgs, keys
+                  P(), P(None, "data"),              # cond_static, cond_views
+                  P(), P(), P(), P(), P()),          # flags, dkeys, gparams
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def sharded_scan(params, adam, aux, known_cams, ref_rgb, ref_mask,
+                     steps, novel_cams_seq, bgs, keys, cond_static,
+                     cond_views, accums, densify_flags, reset_flags,
+                     densify_keys, gparams):
+        def body(carry, xs):
+            params, adam, aux = carry
+            (step, ncams, bg, key, cs, cv, accum, do_d, do_r, dkey) = xs
+            cond = {**cs, **cv}
+            params, adam, aux, metrics = step_body(
+                params, adam, aux, step, known_cams, ncams, bg,
+                ref_rgb, ref_mask, key, cond, accum, gparams,
+            )
+            def densify_branch(t):
+                p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
+                return (p, a, x), dropped
+
+            (params, adam, aux), metrics["densify_dropped"] = jax.lax.cond(
+                do_d,
+                densify_branch,
+                lambda t: (t, jnp.int32(0)),
+                (params, adam, aux),
+            )
+            params, adam = jax.lax.cond(
+                do_r,
+                lambda t: reset_fn(t[0], t[1]),
+                lambda t: t,
+                (params, adam),
+            )
+            return (params, adam, aux), metrics
+
+        xs = (steps, novel_cams_seq, bgs, keys, cond_static, cond_views,
+              accums, densify_flags, reset_flags, densify_keys)
+        (params, adam, aux), metrics = jax.lax.scan(
+            body, (params, adam, aux), xs
+        )
+        return params, adam, aux, metrics
+
+    return jax.jit(sharded_scan)
 
 
 def shard_cameras(mesh: Mesh, cams: dict) -> dict:

@@ -260,6 +260,13 @@ def densify_and_prune(
     the reference ``densify_and_prune(max_grad, 0.01, 4, 1)`` call
     (/root/reference/main.py:283, gs_renderer.py:597-611) including the
     reset-before-check quirk that disables the screen-radius prune there.
+
+    Returns ``(params, adam, aux, dropped)``: ``dropped`` is the number of
+    clone/split candidates that could not be granted a free slot (the
+    reference grows unboundedly, gs_renderer.py:581-595, so its demand is
+    always met). Callers must surface nonzero values and escalate capacity
+    (Stage1Trainer grows + retraces, like the binning max_tiles path) —
+    a capacity-bound run must never silently stop densifying.
     """
     alive = aux.alive
     grads = aux.grad_accum / jnp.maximum(aux.denom, 1.0)
@@ -304,6 +311,9 @@ def densify_and_prune(
     cand_valid &= ~((cand_op < min_opacity) | cand_ws)
 
     dest, ok = _alloc_slots(free, cand_valid)
+    dropped = jnp.sum(cand_valid.astype(jnp.int32)) - jnp.sum(
+        ok.astype(jnp.int32)
+    )
     new_params = _scatter_rows(params, cand, dest, ok)
 
     # Freed slots (dead or newly pruned/split originals) lose their moments;
@@ -317,7 +327,7 @@ def densify_and_prune(
     new_aux = GaussianAux(
         alive=new_alive, max_radii2d=zeros, grad_accum=zeros, denom=zeros
     )
-    return new_params, AdamState(mu=mu, nu=nu, count=adam.count), new_aux
+    return new_params, AdamState(mu=mu, nu=nu, count=adam.count), new_aux, dropped
 
 
 def prune_only(

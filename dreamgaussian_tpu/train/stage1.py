@@ -209,10 +209,14 @@ def make_train_scan(
                 params, adam, aux, step, known_cams, ncams, bg,
                 ref_rgb, ref_mask, key, cond, accum, gparams,
             )
-            params, adam, aux = jax.lax.cond(
+            def densify_branch(t):
+                p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
+                return (p, a, x), dropped
+
+            (params, adam, aux), metrics["densify_dropped"] = jax.lax.cond(
                 do_d,
-                lambda t: densify_fn(t[0], t[1], t[2], dkey),
-                lambda t: t,
+                densify_branch,
+                lambda t: (t, jnp.int32(0)),
                 (params, adam, aux),
             )
             params, adam = jax.lax.cond(
@@ -245,8 +249,17 @@ class Stage1Trainer:
         cond: dict | None = None,
         capacity: int = 16384,
         seed: int = 0,
+        mesh=None,
     ):
-        """opt: config namespace with the reference's image.yaml keys."""
+        """opt: config namespace with the reference's image.yaml keys.
+
+        ``mesh``: optional jax.sharding.Mesh with a 'data' axis (novel
+        SDS views shard over it) and optionally a 'tile' axis (each
+        render's tile grid shards over it — the SP/CP analogue). With a
+        mesh, every train path (train_step / train_segment / train) runs
+        the shard_map'd scan from parallel/dp.py; params, Adam state and
+        the density controller stay replicated (psum'd grads/stats), so
+        checkpoints/exports are mesh-independent."""
         self.opt = opt
         self.seed = seed
         self.rng = np.random.default_rng(seed)
@@ -267,6 +280,9 @@ class Stage1Trainer:
         # that first detected it.
         self.max_tiles = int(opt.get("max_tiles", 12))
         self.overflow = None  # device value of the last step/segment
+        # Densify candidates dropped for lack of free capacity slots (the
+        # reference grows unboundedly); nonzero triggers capacity growth.
+        self.densify_dropped = None
 
         load = opt.get("load", None)
         if load:
@@ -303,6 +319,24 @@ class Stage1Trainer:
 
         self.n_views = 4 if (opt.get("mvdream", False) or opt.get("imagedream", False)) else 1
         self.batch_size = opt.get("batch_size", 1)
+
+        self.mesh = mesh
+        self.tile_axis = None
+        self.data_size = 1
+        if mesh is not None:
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            assert "data" in axes, "trainer mesh needs a 'data' axis"
+            self.data_size = axes["data"]
+            self.tile_axis = "tile" if axes.get("tile", 1) > 1 else None
+            total_views = self.batch_size * self.n_views
+            assert total_views % self.data_size == 0, (
+                f"{total_views} views cannot shard over data={self.data_size}"
+            )
+            assert (total_views // self.data_size) % self.n_views == 0, (
+                "multi-view groups must stay on one device "
+                f"(views/device={total_views // self.data_size}, "
+                f"group={self.n_views})"
+            )
 
         self.lr_schedules = {
             "total_iters": float(opt.get("iters", 500)),
@@ -393,21 +427,75 @@ class Stage1Trainer:
         unbounded, so this is our only approximation), which the log
         makes visible.
         """
-        if self.overflow is None:
-            return
-        ov = int(np.max(np.asarray(self.overflow)))
-        if ov > 0:
-            new = min(self.max_tiles * 2, 256)
-            print(
-                f"[stage1] WARNING: binning overflow ({ov} duplicates "
-                f"dropped); escalating max_tiles {self.max_tiles} -> {new}"
+        if self.overflow is not None:
+            ov = int(np.max(np.asarray(self.overflow)))
+            if ov > 0:
+                new = min(self.max_tiles * 2, 256)
+                print(
+                    f"[stage1] WARNING: binning overflow ({ov} duplicates "
+                    f"dropped); escalating max_tiles {self.max_tiles} -> {new}"
+                )
+                self.max_tiles = new
+                self._step_fns.clear()
+            self.overflow = None
+        if self.densify_dropped is not None:
+            dropped = int(np.max(np.asarray(self.densify_dropped)))
+            if dropped > 0:
+                self._grow_capacity(self.capacity * 2, dropped)
+            self.densify_dropped = None
+
+    def _grow_capacity(self, new_capacity: int, dropped: int) -> None:
+        """Double the padded-slot capacity after densify ran out of free
+        slots (the reference's arrays grow unboundedly,
+        /root/reference/gs_renderer.py:581-595; ours are fixed-capacity,
+        so growth is an explicit repad + one retrace per growth, exactly
+        like the binning ``max_tiles`` escalation). The ``dropped``
+        candidates themselves are lost — growth prevents the NEXT pass
+        from truncating, never silently stalling densification."""
+        from ..scene.optim import AdamState
+
+        old = self.capacity
+        print(
+            f"[stage1] WARNING: densify dropped {dropped} candidates at "
+            f"capacity {old}; growing capacity {old} -> {new_capacity}"
+        )
+        pad = new_capacity - old
+
+        def pad_rows(v, fill=0.0):
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)]
             )
-            self.max_tiles = new
-            self._step_fns.clear()
-        self.overflow = None
+
+        fills = {"scaling": -10.0}
+        self.params = {
+            k: pad_rows(v, fills.get(k, 0.0)) for k, v in self.params.items()
+        }
+        # Dead rotation rows get the identity quat (normalize_quat(0) in
+        # the densify candidate math would produce NaNs otherwise).
+        self.params["rotation"] = self.params["rotation"].at[old:, 0].set(1.0)
+        self.adam = AdamState(
+            mu={k: pad_rows(v) for k, v in self.adam.mu.items()},
+            nu={k: pad_rows(v) for k, v in self.adam.nu.items()},
+            count=self.adam.count,
+        )
+        self.aux = self.aux._replace(
+            alive=jnp.concatenate(
+                [self.aux.alive, jnp.zeros((pad,), bool)]
+            ),
+            max_radii2d=pad_rows(self.aux.max_radii2d),
+            grad_accum=pad_rows(self.aux.grad_accum),
+            denom=pad_rows(self.aux.denom),
+        )
+        self.capacity = new_capacity
+        self._step_fns.clear()
 
     def train_step(self) -> float:
         opt = self.opt
+        if self.mesh is not None:
+            # With a mesh every path goes through the shard_map'd scan
+            # (k=1 degenerates to one sharded step; densify/reset flags
+            # fire inside it on the same schedule).
+            return self.train_segment(1, opt.get("iters", 500))[-1]
         self.step += 1
         step_ratio = min(1.0, self.step / opt.get("iters", 500))
         # Resolution ladder (/root/reference/main.py:211); configurable so
@@ -460,9 +548,10 @@ class Stage1Trainer:
         if in_window:
             if self.step % opt.get("densification_interval", 100) == 0:
                 self.key, k_d = jax.random.split(self.key)
-                self.params, self.adam, self.aux = self._densify(
+                self.params, self.adam, self.aux, dropped = self._densify(
                     self.params, self.adam, self.aux, k_d
                 )
+                self.densify_dropped = dropped
             if self.step % opt.get("opacity_reset_interval", 700) == 0:
                 self.params, self.adam = self._reset_opacity(
                     self.params, self.adam
@@ -479,6 +568,28 @@ class Stage1Trainer:
         if key not in self._step_fns:
             from ..utils.aotcache import AotCached
             from .stage1 import make_train_scan
+
+            if self.mesh is not None:
+                from ..parallel.dp import make_dp_train_scan
+
+                self._step_fns[key] = make_dp_train_scan(
+                    self.mesh,
+                    novel_size=size,
+                    ref_size=self.ref_size,
+                    sh_degree=self.sh_degree,
+                    views_per_device=(
+                        self.batch_size * self.n_views // self.data_size
+                    ),
+                    use_known_view=self.use_known_view,
+                    warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
+                    lr_schedules=self.lr_schedules,
+                    densify_fn=self._densify_pure,
+                    reset_fn=reset_opacity,
+                    guidance_fns=self.guidance_fns,
+                    max_tiles=self.max_tiles,
+                    tile_axis=self.tile_axis,
+                )
+                return self._step_fns[key]
 
             self._step_fns[key] = AotCached(make_train_scan(
                 novel_size=size,
@@ -529,15 +640,14 @@ class Stage1Trainer:
         }
         # Every cond leaf must carry the scan axis; static entries (e.g.
         # user-supplied embeddings) broadcast across the K steps.
-        conds_seq = {
+        static_seq = {
             kk: jnp.broadcast_to(
                 jnp.asarray(v)[None], (k,) + jnp.asarray(v).shape
             )
             for kk, v in self.cond.items()
         }
-        conds_seq.update(
-            {kk: jnp.asarray(np.stack(v)) for kk, v in conds.items()}
-        )
+        views_seq = {kk: jnp.asarray(np.stack(v)) for kk, v in conds.items()}
+        conds_seq = {**static_seq, **views_seq}
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, k)
         self.key, sub = jax.random.split(self.key)
@@ -561,15 +671,34 @@ class Stage1Trainer:
             else jnp.zeros((self.ref_size, self.ref_size))
         )
         scan_fn = self._get_scan_fn(size, k)
-        self.params, self.adam, self.aux, metrics = scan_fn(
-            self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
-            jnp.asarray(steps, jnp.float32),
-            novel_seq, jnp.asarray(bgs, jnp.float32), keys, conds_seq,
-            jnp.asarray(in_window), jnp.asarray(densify_flags),
-            jnp.asarray(reset_flags), dkeys, self.gparams,
-        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P(None, "data"))
+            novel_seq = {
+                kk: jax.device_put(v, shard) for kk, v in novel_seq.items()
+            }
+            views_seq = {
+                kk: jax.device_put(v, shard) for kk, v in views_seq.items()
+            }
+            self.params, self.adam, self.aux, metrics = scan_fn(
+                self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
+                jnp.asarray(steps, jnp.float32), novel_seq,
+                jnp.asarray(bgs, jnp.float32), keys, static_seq, views_seq,
+                jnp.asarray(in_window), jnp.asarray(densify_flags),
+                jnp.asarray(reset_flags), dkeys, self.gparams,
+            )
+        else:
+            self.params, self.adam, self.aux, metrics = scan_fn(
+                self.params, self.adam, self.aux, known, ref_rgb, ref_mask,
+                jnp.asarray(steps, jnp.float32),
+                novel_seq, jnp.asarray(bgs, jnp.float32), keys, conds_seq,
+                jnp.asarray(in_window), jnp.asarray(densify_flags),
+                jnp.asarray(reset_flags), dkeys, self.gparams,
+            )
         self.step += k
         self.overflow = metrics["overflow"]
+        self.densify_dropped = metrics.get("densify_dropped")
         return metrics["loss"]
 
     def train(self, iters: int | None = None, log_every: int = 100,

@@ -109,3 +109,64 @@ class TestDP:
         np.testing.assert_allclose(
             np.asarray(p_dp["xyz"]), np.asarray(p_s["xyz"]), atol=1e-5
         )
+
+
+class TestMeshTrainer:
+    """Stage1Trainer with a mesh runs the production shard_map'd scan."""
+
+    def _mk(self, mesh, seed=0, **over):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_stage1 import make_target, tiny_opt
+
+        from dreamgaussian_tpu.train import Stage1Trainer
+
+        rgb, mask = make_target(64)
+        kw = dict(
+            ref_size=64, novel_resolutions=[64, 64, 64], batch_size=8,
+            iters=12, density_start_iter=1000,
+        )
+        kw.update(over)
+        opt = tiny_opt(**kw)
+        return Stage1Trainer(
+            opt, ref_rgb=rgb, ref_mask=mask,
+            guidance_fns=((1.0, fake_guidance),), capacity=512, seed=seed,
+            mesh=mesh,
+        )
+
+    def test_matches_single_device_params(self, mesh):
+        """DP-scan trainer == single-device-scan trainer after 6 steps
+        (same seed => same cameras/keys; densify disabled so the
+        all-views-vs-last-view stats deviation can't bite)."""
+        tr_dp = self._mk(mesh)
+        tr_sd = self._mk(None)
+        l_dp = tr_dp.train_segment(6, 12)
+        l_sd = tr_sd.train_segment(6, 12)
+        np.testing.assert_allclose(
+            np.asarray(l_dp), np.asarray(l_sd), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr_dp.params["xyz"]), np.asarray(tr_sd.params["xyz"]),
+            atol=1e-5,
+        )
+
+    def test_densify_inside_mesh_scan(self, mesh):
+        """Densify/reset flags fire inside the sharded scan; params stay
+        replicated and finite."""
+        tr = self._mk(mesh, density_start_iter=1, density_end_iter=10,
+                      densification_interval=3, opacity_reset_interval=5)
+        losses = tr.train_segment(8, 12)
+        assert np.isfinite(np.asarray(losses)).all()
+        # train_step routes through the same machinery at k=1
+        loss = tr.train_step()
+        assert np.isfinite(float(np.asarray(loss)))
+        assert tr.step == 9
+
+    def test_mesh_with_tile_axis(self):
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:8]).reshape(4, 2)
+        mesh2d = Mesh(devs, ("data", "tile"))
+        tr = self._mk(mesh2d)
+        losses = tr.train_segment(3, 12)
+        assert np.isfinite(np.asarray(losses)).all()

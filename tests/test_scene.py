@@ -98,7 +98,7 @@ class TestDensify:
             denom=jnp.where(aux.alive, 1.0, 0.0),
         )
         adam = adam_init(params)
-        p2, a2, x2 = densify_and_prune(
+        p2, a2, x2, _ = densify_and_prune(
             params, adam, aux, jax.random.PRNGKey(0), grad_threshold=0.01
         )
         assert int(num_alive(x2)) == 2 * n0
@@ -122,7 +122,7 @@ class TestDensify:
             grad_accum=jnp.where(aux.alive, 1.0, 0.0),
             denom=jnp.where(aux.alive, 1.0, 0.0),
         )
-        p2, a2, x2 = densify_and_prune(
+        p2, a2, x2, _ = densify_and_prune(
             params, adam_init(params), aux, jax.random.PRNGKey(0)
         )
         # Each original splits into 2 children, original pruned.
@@ -140,7 +140,7 @@ class TestDensify:
         params["opacity"] = jnp.where(
             kill[:, None], inverse_sigmoid(jnp.asarray(0.001)), params["opacity"]
         )
-        p2, a2, x2 = densify_and_prune(
+        p2, a2, x2, _ = densify_and_prune(
             params, adam_init(params), aux, jax.random.PRNGKey(0)
         )
         assert int(num_alive(x2)) == n0 - int(jnp.sum(kill))
@@ -151,7 +151,7 @@ class TestDensify:
             grad_accum=jnp.where(aux.alive, 1.0, 0.0),
             denom=jnp.where(aux.alive, 1.0, 0.0),
         )
-        p2, a2, x2 = densify_and_prune(
+        p2, a2, x2, _ = densify_and_prune(
             params, adam_init(params), aux, jax.random.PRNGKey(0)
         )
         assert int(num_alive(x2)) == 64  # filled, no overflow error
@@ -171,7 +171,7 @@ class TestDensify:
             grad_accum=jnp.where(aux.alive, 1.0, 0.0),
             denom=jnp.where(aux.alive, 1.0, 0.0),
         )
-        p2, a2, x2 = densify_and_prune(
+        p2, a2, x2, _ = densify_and_prune(
             params, adam, aux2, jax.random.PRNGKey(0)
         )
         new_slots = np.asarray(x2.alive) & ~np.asarray(aux.alive)

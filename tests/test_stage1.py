@@ -272,3 +272,42 @@ class TestParamPassingGuidance:
             f"params-as-args module ({arg_txt}B) not meaningfully smaller "
             f"than closure module ({closed_txt}B): params were inlined"
         )
+
+
+class TestCapacityGrowth:
+    def test_densify_overflow_grows_capacity(self):
+        """A capacity-bound densify reports dropped candidates and the
+        trainer grows (VERDICT r2 weak #5: never a silent stall)."""
+        rgb, mask = make_target()
+        tr = Stage1Trainer(tiny_opt(), ref_rgb=rgb, ref_mask=mask,
+                           capacity=256, seed=0)  # num_pts=256: 0 free slots
+        # Make every gaussian a densify candidate.
+        tr.aux = tr.aux._replace(
+            grad_accum=jnp.ones(256) * 10.0, denom=jnp.ones(256)
+        )
+        tr.key, k = jax.random.split(tr.key)
+        tr.params, tr.adam, tr.aux, dropped = tr._densify(
+            tr.params, tr.adam, tr.aux, k
+        )
+        tr.densify_dropped = dropped
+        assert int(np.asarray(dropped)) > 0
+        tr._check_overflow()
+        assert tr.capacity == 512
+        assert tr.params["xyz"].shape[0] == 512
+        assert tr.adam.mu["xyz"].shape[0] == 512
+        assert tr.aux.alive.shape[0] == 512
+        # Trainer still steps after the repad (one retrace).
+        loss = tr.train_step()
+        assert np.isfinite(float(np.asarray(loss)))
+
+    def test_no_drop_when_capacity_free(self):
+        rgb, mask = make_target()
+        tr = Stage1Trainer(tiny_opt(), ref_rgb=rgb, ref_mask=mask,
+                           capacity=1024, seed=0)
+        tr.aux = tr.aux._replace(
+            grad_accum=jnp.where(jnp.arange(1024) < 256, 10.0, 0.0),
+            denom=jnp.ones(1024),
+        )
+        tr.key, k = jax.random.split(tr.key)
+        _, _, _, dropped = tr._densify(tr.params, tr.adam, tr.aux, k)
+        assert int(np.asarray(dropped)) == 0

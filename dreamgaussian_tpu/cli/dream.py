@@ -65,8 +65,8 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    steps = args.steps or (50 if args.mode == "sd" else 30)
-    scale = args.scale or (5.0 if args.mode == "imagedream" else 7.5)
+    steps = args.steps if args.steps is not None else (50 if args.mode == "sd" else 30)
+    scale = args.scale if args.scale is not None else (5.0 if args.mode == "imagedream" else 7.5)
 
     ref_rgb = None
     if args.mode == "imagedream":

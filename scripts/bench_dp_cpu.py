@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""rays/s of the PRODUCTION Stage1Trainer on a virtual-device CPU mesh.
+
+Runs the same fused shard_map'd scan the CLI uses (parallel/dp.py via
+Stage1Trainer(mesh=...)) at mesh sizes 1 / 8, on
+xla_force_host_platform_device_count virtual devices. On this host the 8
+virtual devices TIMESHARE the physical cores, so wall-clock "scaling" is
+NOT hardware scaling — the numbers demonstrate the production multi-chip
+path executing end-to-end (sharded cameras + psum'd grads + in-scan
+densify) and give the driver a per-mesh-size rays/s record
+(BASELINE.md scaling row; real ICI scaling needs real chips).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from dreamgaussian_tpu.train import Stage1Trainer  # noqa: E402
+from dreamgaussian_tpu.utils.config import Config  # noqa: E402
+
+
+def fake_guidance(images, cond, step_ratio, key):
+    return jnp.mean((images - 0.5) ** 2)
+
+
+def measure(mesh, data_sz: int, size: int = 64, k: int = 10) -> float:
+    rng = np.random.default_rng(0)
+    ref_rgb = rng.uniform(size=(size, size, 3)).astype(np.float32)
+    ref_mask = (ref_rgb[..., 0] > 0.3).astype(np.float32)
+    opt = Config(dict(
+        iters=1000, ref_size=size, num_pts=1024, sh_degree=0,
+        batch_size=8, novel_resolutions=[size, size, size],
+        warmup_rgb_loss=False, density_start_iter=10000,
+        density_end_iter=10000, densification_interval=100,
+        opacity_reset_interval=10000, elevation=0, radius=2.0,
+        fovy=49.1, min_ver=-30, max_ver=30, invert_bg_prob=0.5,
+    ))
+    tr = Stage1Trainer(
+        opt, ref_rgb=ref_rgb, ref_mask=ref_mask,
+        guidance_fns=((1.0, fake_guidance),), capacity=2048, seed=0,
+        mesh=mesh,
+    )
+    losses = tr.train_segment(k, 1000)  # warm (compile)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    losses = tr.train_segment(k, 1000)
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / k
+    views = tr.batch_size * tr.n_views
+    return size * size * views / dt
+
+
+def main() -> None:
+    devs = np.array(jax.devices())
+    out = {}
+    r1 = measure(Mesh(devs[:1], ("data",)), 1)
+    r8 = measure(Mesh(devs[:8], ("data",)), 8)
+    out = {
+        "rays_per_s_vdev1": round(r1, 0),
+        "rays_per_s_vdev8": round(r8, 0),
+        "vdev8_over_vdev1": round(r8 / r1, 3),
+        "note": "8 virtual devices timeshare the host cores; this "
+                "validates the production sharded path, not ICI scaling",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

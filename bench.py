@@ -305,9 +305,9 @@ def main() -> None:
         for _try in range(4):
             tr.train_segment(K, 500)
             jax.block_until_ready(tr.params["xyz"])
-            mt_before = tr.max_tiles
+            stable_before = (tr.max_tiles, tr.capacity)
             tr._check_overflow()
-            if tr.max_tiles == mt_before:
+            if (tr.max_tiles, tr.capacity) == stable_before:
                 break
         dt = None
         for _retry in range(3):

@@ -190,6 +190,17 @@ def make_train_scan(
     iteration; densify/prune and opacity reset fire INSIDE the scan via
     ``lax.cond`` on per-step flags (both are shape-static, so the cond
     branches compile once). The host only samples K cameras up front.
+
+    ``densify_fn=None`` omits the in-scan densify/reset conds entirely
+    (the flag/key xs become inert): on the real TPU backend, a scan of
+    length >= ~5 whose body contains BOTH the densify cond branches and
+    a real-size guidance net deterministically faults the device at
+    larger capacities (bisected 2026-08-19: k=1 ok, k=5 faults, k=5
+    without the conds ok, same shapes with a tiny fake guidance ok —
+    a backend miscompile, not our math). Stage1Trainer therefore splits
+    segments at densify boundaries and applies densify/reset between
+    scans by default; the in-scan path remains for the DP trainer and
+    CPU tests.
     """
     step_fn = make_train_step(
         novel_size=novel_size, n_novel=n_novel, ref_size=ref_size,
@@ -209,22 +220,25 @@ def make_train_scan(
                 params, adam, aux, step, known_cams, ncams, bg,
                 ref_rgb, ref_mask, key, cond, accum, gparams,
             )
-            def densify_branch(t):
-                p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
-                return (p, a, x), dropped
+            if densify_fn is not None:
+                def densify_branch(t):
+                    p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
+                    return (p, a, x), dropped
 
-            (params, adam, aux), metrics["densify_dropped"] = jax.lax.cond(
-                do_d,
-                densify_branch,
-                lambda t: (t, jnp.int32(0)),
-                (params, adam, aux),
-            )
-            params, adam = jax.lax.cond(
-                do_r,
-                lambda t: reset_fn(t[0], t[1]),
-                lambda t: t,
-                (params, adam),
-            )
+                (params, adam, aux), metrics["densify_dropped"] = (
+                    jax.lax.cond(
+                        do_d,
+                        densify_branch,
+                        lambda t: (t, jnp.int32(0)),
+                        (params, adam, aux),
+                    )
+                )
+                params, adam = jax.lax.cond(
+                    do_r,
+                    lambda t: reset_fn(t[0], t[1]),
+                    lambda t: t,
+                    (params, adam),
+                )
             return (params, adam, aux), metrics
 
         xs = (steps, novel_cams_seq, bgs, keys, conds_seq, accums,
@@ -279,6 +293,10 @@ class Stage1Trainer:
         # (one retrace) — never silently wrong for more than the segment
         # that first detected it.
         self.max_tiles = int(opt.get("max_tiles", 12))
+        # In-scan densify (lax.cond inside the fused scan) is kept for the
+        # DP path and CPU tests; single-device TPU runs apply densify
+        # between sub-scans (see train_segment / make_train_scan).
+        self.in_scan_densify = bool(opt.get("in_scan_densify", False))
         self.overflow = None  # device value of the last step/segment
         # Densify candidates dropped for lack of free capacity slots (the
         # reference grows unboundedly); nonzero triggers capacity growth.
@@ -551,7 +569,7 @@ class Stage1Trainer:
                 self.params, self.adam, self.aux, dropped = self._densify(
                     self.params, self.adam, self.aux, k_d
                 )
-                self.densify_dropped = dropped
+                self._note_dropped(dropped)
             if self.step % opt.get("opacity_reset_interval", 700) == 0:
                 self.params, self.adam = self._reset_opacity(
                     self.params, self.adam
@@ -564,7 +582,7 @@ class Stage1Trainer:
     # -- fused multi-step path ------------------------------------------
 
     def _get_scan_fn(self, size: int, k: int):
-        key = ("scan", size, k)
+        key = ("scan", size, k, self.in_scan_densify)
         if key not in self._step_fns:
             from ..utils.aotcache import AotCached
             from .stage1 import make_train_scan
@@ -591,6 +609,7 @@ class Stage1Trainer:
                 )
                 return self._step_fns[key]
 
+            in_scan = self.in_scan_densify
             self._step_fns[key] = AotCached(make_train_scan(
                 novel_size=size,
                 n_novel=self.batch_size * self.n_views,
@@ -599,11 +618,13 @@ class Stage1Trainer:
                 use_known_view=self.use_known_view,
                 warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
                 lr_schedules=self.lr_schedules,
-                densify_fn=self._densify_pure,
-                reset_fn=reset_opacity,
+                densify_fn=self._densify_pure if in_scan else None,
+                reset_fn=reset_opacity if in_scan else None,
                 guidance_fns=self.guidance_fns,
                 max_tiles=self.max_tiles,
-            ), tag=f"s1scan_{size}_{k}_mt{self.max_tiles}", verbose=True)
+            ), tag=f"s1scan_{size}_{k}_mt{self.max_tiles}"
+                   + ("" if in_scan else "_hostd"),
+               verbose=True)
         return self._step_fns[key]
 
     def _novel_size_for(self, step: int, iters: int) -> int:
@@ -613,8 +634,66 @@ class Stage1Trainer:
             ladder[1] if ratio < 0.6 else ladder[2]
         )
 
+    def _flag_step(self, s: int) -> tuple[bool, bool]:
+        """(densify_fires, reset_fires) after step ``s``."""
+        opt = self.opt
+        in_win = (
+            opt.get("density_start_iter", 100)
+            <= s
+            <= opt.get("density_end_iter", 3000)
+        )
+        do_d = in_win and s % opt.get("densification_interval", 100) == 0
+        do_r = in_win and s % opt.get("opacity_reset_interval", 700) == 0
+        return do_d, do_r
+
     def train_segment(self, k: int, iters: int):
-        """Run k steps (uniform novel resolution) as ONE scan dispatch."""
+        """Run k steps (uniform novel resolution) as fused scan dispatches.
+
+        Default single-device mode splits the segment at densify/opacity-
+        reset steps and applies those BETWEEN scans (host-side): the
+        in-scan ``lax.cond`` variant deterministically faults the TPU
+        backend at scale (see make_train_scan). Flag steps land on
+        interval multiples, so default configs still run one dispatch per
+        segment. ``in_scan_densify=True`` (opt key) or a mesh keeps the
+        all-on-device scan.
+        """
+        if self.mesh is not None or self.in_scan_densify:
+            return self._scan_segment(k, iters)
+        end = self.step + k
+        losses = []
+        while self.step < end:
+            nxt = self.step + 1
+            while nxt < end and not any(self._flag_step(nxt)):
+                nxt += 1
+            losses.append(jnp.atleast_1d(
+                self._scan_segment(nxt - self.step, iters)
+            ))
+            do_d, do_r = self._flag_step(self.step)
+            if do_d:
+                self.key, k_d = jax.random.split(self.key)
+                self.params, self.adam, self.aux, dropped = self._densify(
+                    self.params, self.adam, self.aux, k_d
+                )
+                self._note_dropped(dropped)
+            if do_r:
+                self.params, self.adam = self._reset_opacity(
+                    self.params, self.adam
+                )
+        return jnp.concatenate(losses)
+
+    def _note_dropped(self, dropped) -> None:
+        """Fold a densify drop count into the pending metric (device
+        values; max avoids a host sync until _check_overflow)."""
+        if self.densify_dropped is None:
+            self.densify_dropped = dropped
+        else:
+            self.densify_dropped = jnp.maximum(
+                jnp.max(jnp.asarray(self.densify_dropped)),
+                jnp.max(jnp.asarray(dropped)),
+            )
+
+    def _scan_segment(self, k: int, iters: int):
+        """k steps as ONE scan dispatch (flags traced when in-scan)."""
         opt = self.opt
         size = self._novel_size_for(self.step + 1, iters)
         steps = np.arange(self.step + 1, self.step + k + 1)
@@ -698,7 +777,8 @@ class Stage1Trainer:
             )
         self.step += k
         self.overflow = metrics["overflow"]
-        self.densify_dropped = metrics.get("densify_dropped")
+        if "densify_dropped" in metrics:
+            self._note_dropped(metrics["densify_dropped"])
         return metrics["loss"]
 
     def train(self, iters: int | None = None, log_every: int = 100,

@@ -166,18 +166,24 @@ class TestScanTraining:
         assert err1 < err0 * 0.25, (err0, err1)
 
     def test_scan_densify_fires_inside_scan(self):
+        """Both densify variants of the fused path: in-scan lax.cond and
+        the default host-side between-sub-scans application (the TPU
+        backend faults on the in-scan conds at scale; see
+        make_train_scan)."""
         def fake_guidance(images, cond, step_ratio, key):
             return jnp.mean((images - 0.1) ** 2)
 
-        tr = Stage1Trainer(
-            tiny_opt(iters=20, density_start_iter=2, density_end_iter=18,
-                     densification_interval=5),
-            capacity=512, seed=0, guidance_fns=((1.0, fake_guidance),),
-        )
-        n0 = int(jnp.sum(tr.aux.alive))
-        tr.train(20, scan_chunk=20, log_every=0)
-        n1 = int(jnp.sum(tr.aux.alive))
-        assert n1 != n0  # density control ran inside the fused scan
+        for in_scan in (True, False):
+            tr = Stage1Trainer(
+                tiny_opt(iters=20, density_start_iter=2, density_end_iter=18,
+                         densification_interval=5, in_scan_densify=in_scan),
+                capacity=512, seed=0, guidance_fns=((1.0, fake_guidance),),
+            )
+            n0 = int(jnp.sum(tr.aux.alive))
+            tr.train(20, scan_chunk=20, log_every=0)
+            n1 = int(jnp.sum(tr.aux.alive))
+            assert n1 != n0, f"density control did not run (in_scan={in_scan})"
+            assert tr.step == 20
 
 
 class TestParamPassingGuidance:

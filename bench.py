@@ -291,26 +291,52 @@ def main() -> None:
     # retrace), then time a clean K=50 segment; charge the remainder at
     # the measured rate.
     seg_counts = {128: 149, 256: 150, 512: 201}
+    rung_starts = {128: 0, 256: 150, 512: 300}
     s_per_iter = {}
     rays_per_s = {}
+    alive_at_rung = {}
     overflow_in_measured = {}
     total = 0.0
     K = 50
-    for _ in range(3):
-        size = tr._novel_size_for(tr.step + 1, 500)
-        # Stabilize the binning capacity: untimed warm segments until a
-        # segment completes without escalation (an escalation retraces,
-        # and a retrace inside a timed segment would measure the remote
-        # compile, not the step).
-        for _try in range(4):
+
+    from dreamgaussian_tpu.scene import num_alive
+
+    for size in (128, 256, 512):
+        # Train HONESTLY (densify on, real schedule) up to the rung start
+        # so the gaussian count entering the measurement is the one a
+        # real run would have; escalations (max_tiles / capacity growth)
+        # happen here, outside any timed region.
+        while tr.step < rung_starts[size]:
+            tr.train_segment(min(K, rung_starts[size] - tr.step), 500)
+            jax.block_until_ready(tr.params["xyz"])
+            tr._check_overflow()
+        rung_start = tr.step
+        alive_at_rung[size] = int(num_alive(tr.aux))
+
+        # Freeze density control and PIN the step for the warm/measured
+        # windows: every segment replays [rung_start+1, rung_start+K]
+        # (step enters the scan only as a traced float), so no densify
+        # compounds across replays and no splinter sub-scan lengths
+        # (k=1/k=49 around a flag step) compile mid-measurement. Densify
+        # dispatch cost is charged separately below.
+        end_saved = tr.opt["density_end_iter"]
+        tr.opt["density_end_iter"] = 0
+        stable_runs = 0
+        for _try in range(6):
+            tr.step = rung_start
             tr.train_segment(K, 500)
             jax.block_until_ready(tr.params["xyz"])
             stable_before = (tr.max_tiles, tr.capacity)
             tr._check_overflow()
-            if (tr.max_tiles, tr.capacity) == stable_before:
+            stable_runs = (
+                stable_runs + 1
+                if (tr.max_tiles, tr.capacity) == stable_before else 0
+            )
+            if stable_runs >= 2:
                 break
         dt = None
         for _retry in range(3):
+            tr.step = rung_start
             t0 = time.perf_counter()
             tr.train_segment(K, 500)
             jax.block_until_ready(tr.params["xyz"])
@@ -326,13 +352,24 @@ def main() -> None:
             f"binning overflow persisted in measured segment at {size}: "
             f"{overflow_in_measured[size]}"
         )
+        tr.step = rung_start
+        tr.opt["density_end_iter"] = end_saved
         s_per_iter[size] = round(dt / K, 4)
         n_views = tr.batch_size * tr.n_views
         rays_per_s[size] = round(size * size * n_views / (dt / K), 0)
         total += dt / K * seg_counts[size]
-        while (tr.step < 500
-               and tr._novel_size_for(tr.step + 1, 500) == size):
-            tr.step += 1
+
+    # Charge the 5 densify dispatches a real 500-iter run performs
+    # (warm once first: capacity growth may have left the jit cold at
+    # the final shape).
+    key_d = jax.random.PRNGKey(123)
+    p_, a_, x_, _ = tr._densify(tr.params, tr.adam, tr.aux, key_d)
+    jax.block_until_ready(p_["xyz"])
+    t0 = time.perf_counter()
+    p_, a_, x_, _ = tr._densify(tr.params, tr.adam, tr.aux, key_d)
+    jax.block_until_ready(p_["xyz"])
+    densify_s = time.perf_counter() - t0
+    total += 5 * densify_s
 
     stage2 = bench_stage2(g)
     # Split each rung into guidance-side vs render-side: the SDS step is
@@ -359,6 +396,9 @@ def main() -> None:
             "s_per_iter": s_per_iter,
             "per_rung_split": split,
             "rays_per_s": rays_per_s,
+            "alive_at_rung_start": alive_at_rung,
+            "densify_s_per_event": round(densify_s, 4),
+            "capacity_final": tr.capacity,
             "dp_scaling_cpu_vdev": dp_scaling,
             "max_tiles_final": tr.max_tiles,
             "overflow_in_measured": overflow_in_measured,

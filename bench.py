@@ -217,27 +217,25 @@ def bench_stage2(g, iters_measure: int = 10):
     tr = Stage2Trainer(opt, mesh, refine_fns=(entry,), seed=0)
     # Warm every compiled variant (3 novel SSAA choices x fwd+grad, the
     # fused refine, VAE encode/decode).
-    for _ in range(6):
-        tr.train_step()
-    jax.block_until_ready(tr.params["raw_albedo"])
-    t0 = time.perf_counter()
-    for _ in range(iters_measure):
-        tr.train_step()
-    jax.block_until_ready(tr.params["raw_albedo"])
-    dt = (time.perf_counter() - t0) / iters_measure
+    def measure(trainer):
+        # Warm every compiled variant (3 novel SSAA choices x target +
+        # grad programs) and BLOCK each iteration: the SSAA jitter makes
+        # per-iter cost trimodal, so only a per-iter-blocked mean over a
+        # full SSAA cycle is honest.
+        for _ in range(8):
+            trainer.train_step()
+            jax.block_until_ready(trainer.params["raw_albedo"])
+        t0 = time.perf_counter()
+        for _ in range(iters_measure):
+            trainer.train_step()
+            jax.block_until_ready(trainer.params["raw_albedo"])
+        return (time.perf_counter() - t0) / iters_measure
 
+    dt = measure(tr)
     # Per-phase split (VERDICT r2 #4): a twin trainer WITHOUT the refine
     # entry isolates mesh-render + grad-step cost; refine = full - that.
     # Same rng seed => the SSAA sampling sequence matches.
-    tr2 = Stage2Trainer(opt, mesh, refine_fns=(), seed=0)
-    for _ in range(6):
-        tr2.train_step()
-    jax.block_until_ready(tr2.params["raw_albedo"])
-    t0 = time.perf_counter()
-    for _ in range(iters_measure):
-        tr2.train_step()
-    jax.block_until_ready(tr2.params["raw_albedo"])
-    dt_render = (time.perf_counter() - t0) / iters_measure
+    dt_render = measure(Stage2Trainer(opt, mesh, refine_fns=(), seed=0))
 
     return {
         "s_per_iter": round(dt, 4),

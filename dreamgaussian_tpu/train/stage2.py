@@ -161,6 +161,25 @@ class Stage2Trainer:
         return jnp.asarray(w2c.T)
 
     def _get_grad_step(self, n_novel: int, ssaa_known: float, ssaa_novel: float):
+        """ONE jitted program for the WHOLE iteration: known-view loss,
+        novel renders, diffusion refine of the (stop-gradient) renders,
+        per-fn MSE against the refined targets, backward, Adam update.
+
+        A split pipeline (fwd render dispatch -> refine dispatch -> eager
+        resize/stack -> grad dispatch) measured 391 ms/iter on the
+        tunneled TPU where the device work is ~150 ms — per-call
+        round-trips dominate. Rendering ONCE and refining its
+        stop_gradient inside the grad program is mathematically identical
+        to the reference's render/detach/refine/render-again structure
+        (/root/reference/main2.py:166-283: both MSE a live render against
+        a no-grad refined copy of the SAME render)."""
+        # NOTE a fully-fused single-dispatch variant (refine traced INTO
+        # this grad program under stop_gradient) measured the refine
+        # subgraph at ~300 ms vs its ~60 ms standalone cost — XLA
+        # schedules the dynamic-trip DDIM while_loop poorly inside the
+        # grad program. Stage 2 therefore runs TWO fused dispatches per
+        # iteration: _get_target_fn (render + refine, no grad) and this
+        # step (render + losses + backward + Adam).
         key = (n_novel, ssaa_known, ssaa_novel)
         if key in self._grad_steps:
             return self._grad_steps[key]
@@ -168,7 +187,9 @@ class Stage2Trainer:
         ref_size = self.ref_size
         use_known = self.use_known_view
         train_geo = self.train_geo
-        lambda_refine = [e[0] for e in self.refine_fns]
+        refine_fns = self.refine_fns
+
+        lambda_refine = [e[0] for e in refine_fns]
 
         def loss_fn(params, known_arr, known_rot, novel_arrs, novel_rots,
                     targets, ref_rgb, ref_mask):
@@ -211,7 +232,56 @@ class Stage2Trainer:
         from ..utils.aotcache import AotCached
 
         wrapped = AotCached(
-            step_fn, tag=f"s2grad_{n_novel}_{ssaa_known}_{ssaa_novel}"
+            step_fn,
+            tag=f"s2grad_{n_novel}_{ssaa_known}_{ssaa_novel}",
+        )
+        self._grad_steps[key] = wrapped
+        return wrapped
+
+    def _get_target_fn(self, n_novel: int, ssaa_novel: float):
+        """ONE jitted no-grad program: render the novel views and run
+        every refine fn on them -> stacked targets [n_fns, B, H, W, 3]
+        (resized to render resolution). Keeps the refine's dynamic-trip
+        DDIM while_loop OUT of the grad program (see _get_grad_step
+        NOTE) while still costing a single dispatch."""
+        key = ("tgt", n_novel, ssaa_novel)
+        if key in self._grad_steps:
+            return self._grad_steps[key]
+        size = self.render_resolution
+        train_geo = self.train_geo
+        refine_fns = self.refine_fns
+
+        def target_fn(params, novel_arrs, novel_rots, cond, strength,
+                      key_r, gparams):
+            st = self.state.with_params(params)
+            images = []
+            for b in range(n_novel):
+                arr = {k: v[b] for k, v in novel_arrs.items()}
+                out = render_mesh(
+                    st, arr, novel_rots[b], size, size,
+                    ssaa=ssaa_novel, train_geo=train_geo,
+                )
+                images.append(out["image"])
+            images = jnp.stack(images)
+            keys = jax.random.split(key_r, max(len(refine_fns), 1))
+            targets = []
+            for i, entry in enumerate(refine_fns):
+                if len(entry) > 2:
+                    t = entry[1](images, cond, strength, keys[i], gparams[i])
+                else:
+                    t = entry[1](images, cond, strength, keys[i])
+                targets.append(
+                    jax.image.resize(t, images.shape, "bilinear")
+                )
+            if targets:
+                return jnp.stack(targets)
+            return jnp.zeros((0,) + images.shape, images.dtype)
+
+        from ..utils.aotcache import AotCached
+
+        wrapped = AotCached(
+            jax.jit(target_fn),
+            tag=f"s2tgt_{n_novel}_{ssaa_novel}_f{len(refine_fns)}",
         )
         self._grad_steps[key] = wrapped
         return wrapped
@@ -228,40 +298,13 @@ class Stage2Trainer:
         ssaa_novel = self._sample_ssaa()
 
         cams, poses, vers, hors = self._sample_novel()
-        size = self.render_resolution
 
-        # Forward renders for refine targets.
-        images = jnp.stack(
-            [self._render_fwd(c, ssaa_novel, size) for c in cams]
-        )
-        strength = step_ratio * 0.15 + 0.8
+        strength = jnp.float32(step_ratio * 0.15 + 0.8)
         cond = dict(self.cond)
         cond["vers"] = jnp.asarray(vers)
         cond["hors"] = jnp.asarray(hors)
         cond["radii"] = jnp.zeros_like(jnp.asarray(vers))
         cond["poses"] = jnp.asarray(poses)
-
-        # One independent refined target per refine fn (each fn denoises
-        # the SAME renders; targets never chain through each other).
-        per_fn_targets = []
-        for entry in self.refine_fns:
-            refine = entry[1]
-            self.key, k = jax.random.split(self.key)
-            # 3-tuple entries use the param-passing contract: net_params
-            # flow through the jit boundary as an argument (see
-            # guidance/sds.py Backbone / _refine_args).
-            if len(entry) > 2:
-                t = refine(images, cond, strength, k, entry[2])
-            else:
-                t = refine(images, cond, strength, k)
-            per_fn_targets.append(
-                jax.image.resize(jnp.asarray(t), images.shape, "bilinear")
-            )
-        if per_fn_targets:
-            targets = jnp.stack(per_fn_targets)
-        else:
-            targets = jnp.zeros((0,) + images.shape, images.dtype)
-        targets = jax.lax.stop_gradient(targets)
 
         novel_arrs_list = [c.arrays() for c in cams]
         novel_arrs = {
@@ -283,7 +326,19 @@ class Stage2Trainer:
             self.ref_mask if self.ref_mask is not None
             else jnp.zeros((self.ref_size, self.ref_size))
         )
+        self.key, key_r = jax.random.split(self.key)
+        # 3-tuple entries use the param-passing contract: net_params flow
+        # through the jit boundary as arguments (guidance/sds.py
+        # Backbone / _refine_args); () placeholders keep the pytree
+        # structure static for 2-tuple (fake) entries.
+        gparams = tuple(
+            e[2] if len(e) > 2 else () for e in self.refine_fns
+        )
 
+        targets = self._get_target_fn(len(cams), ssaa_novel)(
+            self.params, novel_arrs, novel_rots, cond, strength, key_r,
+            gparams,
+        )
         step_fn = self._get_grad_step(len(cams), ssaa_known, ssaa_novel)
         self.params, self.adam, loss = step_fn(
             self.params, self.adam, known_arr, known_rot, novel_arrs,

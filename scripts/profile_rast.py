@@ -3,10 +3,10 @@
 Times, each as its own jitted steady-state loop on the real device:
   - project only
   - binning only
-  - dup gather fwd only (binning + gather)
+  - dup gather fwd only (gather from prebuilt bins)
   - composite forward kernel only (fixed binned inputs)
   - composite fwd+bwd kernel only (fixed binned inputs)
-  - dup gather VJP only (fixed grads)
+  - dup gather fwd+bwd (autodiff through the gather)
   - full forward render
   - full fwd+bwd (the bench row)
 
@@ -15,9 +15,13 @@ push (VERDICT r2 next#3) attacks the real hot spot.
 """
 
 import math
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -202,6 +202,10 @@ def rasterize_projected(
     bins = bin_gaussians(
         mean2d, depth, radius, width, height, max_tiles=max_tiles,
         chunk=chunk, tile=tile,
+        conic=jax.lax.stop_gradient(conic),
+        log_opacity=jnp.log(jnp.maximum(
+            jax.lax.stop_gradient(opacity).astype(jnp.float32), 1e-30
+        )),
     )
 
     feat_cols = build_feature_cols(mean2d, depth, conic, color, opacity)

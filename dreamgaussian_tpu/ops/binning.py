@@ -132,6 +132,55 @@ def ellipse_tile_keep(lx, hx, ly, hy, ca, cb, cc, q_budget):
     return ~psd | (q_min <= q_budget)
 
 
+_RANK_BLOCK = 256  # <= 256 keeps per-block counts exactly representable
+                   # in bf16, so the MXU matmul is integer-exact even when
+                   # XLA demotes f32 matmuls (xla_allow_excess_precision)
+
+
+def _exclusive_rank(cov: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix count of ``cov`` [N, T] along axis 0 (depth).
+
+    XLA lowers a [8192, T] cumsum to a chain of depthwise convolutions
+    (~0.7 ms at the bench shape — the hottest binning fusion in the
+    fwd+bwd trace). A blocked strict-lower-triangular MXU matmul plus a
+    tiny cross-block cumsum computes the same integer ranks ~10x
+    cheaper: within-block ranks are [256,256]x[256,T] matmuls (counts
+    <= 256, exact in bf16), block offsets are a [nb, T] cumsum.
+    """
+    n, t = cov.shape
+    if n <= _RANK_BLOCK:
+        return jnp.cumsum(cov, axis=0) - cov
+    nb = (n + _RANK_BLOCK - 1) // _RANK_BLOCK
+    pad = nb * _RANK_BLOCK - n
+    c = cov.astype(jnp.float32)
+    if pad:
+        c = jnp.pad(c, ((0, pad), (0, 0)))
+    c3 = c.reshape(nb, _RANK_BLOCK, t)
+    tri = jnp.tril(jnp.ones((_RANK_BLOCK, _RANK_BLOCK), jnp.float32), -1)
+    local = jnp.einsum("ij,bjt->bit", tri, c3,
+                       preferred_element_type=jnp.float32)
+    blk = jnp.sum(c3, axis=1)                  # [nb, T]
+    off = jnp.cumsum(blk, axis=0) - blk        # exclusive block offsets
+    rank = (local + off[:, None, :]).reshape(nb * _RANK_BLOCK, t)
+    return rank[:n].astype(cov.dtype)
+
+
+def _row_lookup(table: jnp.ndarray, col_idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[i, col_idx[i, m]]`` as M select-sum passes (no gather).
+
+    table: [N, C] int32; col_idx: [N, M] int32 in [0, C). TPU gathers
+    run on the scalar core (~140M elem/s); M passes of [N, C] VPU
+    select + lane-reduce are far cheaper for small M.
+    """
+    c = table.shape[1]
+    cid = jnp.arange(c, dtype=jnp.int32)[None, :]
+    cols = [
+        jnp.sum(jnp.where(col_idx[:, mm:mm + 1] == cid, table, 0), axis=1)
+        for mm in range(col_idx.shape[1])
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int,
               tile: int = TILE):
     """Integer tile rect [min, max) per gaussian (matches CUDA getRect)."""
@@ -325,28 +374,24 @@ def bin_rects(
         overflow = jnp.sum(demand - count).astype(jnp.int32)
 
     counts = jnp.sum(cov, axis=0)                     # [T]
-    rank = jnp.cumsum(cov, axis=0) - cov              # exclusive, [N, T]
+    rank = _exclusive_rank(cov)                       # exclusive, [N, T]
     aligned_counts = ((counts + chunk - 1) // chunk) * chunk
     astart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
     )  # [T+1]
 
     # Final aligned position of every slot: tile start + depth rank,
-    # PRE-COMBINED densely (pos_dense = astart[t] + rank[i,t]) so the
-    # per-slot lookup is ONE flat gather. The sentinel tile (num_tiles)
-    # maps to k_aligned. NOTE flat-index take, not take_along_axis: XLA
-    # lowers the batched gather ~10x slower on TPU; and TPU gathers
-    # run ~100M elem/s, so every avoided gather matters.
+    # PRE-COMBINED densely (pos_dense = astart[t] + rank[i,t]). The
+    # sentinel tile (num_tiles) maps to k_aligned. The per-slot lookup
+    # is a SELECT-SUM over the row (max_tiles passes of [N, T+1] VPU
+    # select+reduce) — the flat gather it replaces ran at ~140M elem/s
+    # on the TPU scalar path and was the 2nd-hottest binning fusion
+    # (0.7 ms at 512^2/8k; the select-sum is ~25 us of vector work).
     pos_dense = jnp.concatenate(
         [rank + astart[None, :-1], jnp.full((n, 1), k_aligned, jnp.int32)],
         axis=1,
     )  # [N, T+1]
-    flat_idx = (
-        jnp.arange(n, dtype=jnp.int32)[:, None] * (num_tiles + 1) + tile_id
-    )
-    pos = jnp.take(pos_dense.reshape(-1), flat_idx.reshape(-1)).reshape(
-        n, max_tiles
-    )  # [N, M]; invalid slots land at k_aligned exactly
+    pos = _row_lookup(pos_dense, tile_id)  # [N, M]; invalid -> k_aligned
 
     # Big-class extra slots: rect cells max_tiles..max_tiles+big_budget.
     if use_big:
@@ -361,10 +406,7 @@ def bin_rects(
         if cull is not None:
             valid_b = valid_b & keep_cells(txb, tyb, rows=big_idx)
         tile_b = jnp.where(valid_b, tile_b, num_tiles).astype(jnp.int32)
-        flat_b = big_idx[:, None] * (num_tiles + 1) + tile_b
-        pos_b = jnp.take(
-            pos_dense.reshape(-1), flat_b.reshape(-1)
-        ).reshape(num_big, big_budget)
+        pos_b = _row_lookup(pos_dense[big_idx], tile_b)
         all_pos = jnp.concatenate([pos.reshape(-1), pos_b.reshape(-1)])
         all_idx = jnp.concatenate([
             jnp.broadcast_to(order[:, None], (n, max_tiles)).reshape(-1),

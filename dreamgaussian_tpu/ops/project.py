@@ -68,22 +68,28 @@ def project_gaussians(
         scale_modifier: global scale multiplier.
         alive: optional [N] bool mask; dead gaussians get radius 0.
     """
-    # The 3x3/4x4 camera matmuls are tiny but precision-critical: force f32
-    # accumulation (TPU default matmul precision is bf16-grade).
-    hi = jax.lax.Precision.HIGHEST
     tanfovx, tanfovy = tanfov[0], tanfov[1]
     focal_x = width / (2.0 * tanfovx)
     focal_y = height / (2.0 * tanfovy)
 
-    # View-space positions.
-    p_view = jnp.matmul(xyz, view[:3, :3].T, precision=hi) + view[:3, 3]
-    depth = p_view[:, 2]
+    # Camera transforms, scalarized: a [N,3]x[3,3] matmul pads to a
+    # [N,128]x[128,128] MXU op (42x lane waste; needs 6 passes at f32
+    # precision) — 3 row fmas on the VPU are exact f32 and ~free. This
+    # cut the projection stage ~4x at N=8k (profile_rast2.py).
+    gx, gy, gz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+
+    def row(mat3, r):
+        return gx * mat3[r, 0] + gy * mat3[r, 1] + gz * mat3[r, 2] + mat3[r, 3]
+
+    pv_x = row(view, 0)
+    pv_y = row(view, 1)
+    depth = row(view, 2)
     in_front = depth > 0.2
 
     # Full projection to pixel coords.
-    p_hom = jnp.matmul(xyz, full_proj[:3, :3].T, precision=hi) + full_proj[:3, 3]
-    p_w = 1.0 / (jnp.matmul(xyz, full_proj[3, :3], precision=hi) + full_proj[3, 3] + 1e-7)
-    ndc_xy = p_hom[:, :2] * p_w[:, None]
+    p_w = 1.0 / (row(full_proj, 3) + 1e-7)
+    ndc_xy = jnp.stack([row(full_proj, 0), row(full_proj, 1)], axis=-1) \
+        * p_w[:, None]
     sizes = jnp.array([width, height], dtype=xyz.dtype)
     mean2d = ((ndc_xy + 1.0) * sizes - 1.0) * 0.5
 
@@ -97,8 +103,8 @@ def project_gaussians(
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     tz = depth
-    txtz = jnp.clip(p_view[:, 0] / tz, -limx, limx)
-    tytz = jnp.clip(p_view[:, 1] / tz, -limy, limy)
+    txtz = jnp.clip(pv_x / tz, -limx, limx)
+    tytz = jnp.clip(pv_y / tz, -limy, limy)
     tx = txtz * tz
     ty = tytz * tz
 

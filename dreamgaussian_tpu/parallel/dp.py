@@ -301,22 +301,32 @@ def make_dp_train_scan(
                 params, adam, aux, step, known_cams, ncams, bg,
                 ref_rgb, ref_mask, key, cond, accum, gparams,
             )
-            def densify_branch(t):
-                p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
-                return (p, a, x), dropped
+            # densify_fn=None omits the in-scan conds (same contract as
+            # make_train_scan): on the real TPU backend the cond
+            # branches + real-size guidance in one scan body fault the
+            # device (bisect note at train/stage1.py make_train_scan),
+            # so Stage1Trainer splits mesh segments host-side on TPU and
+            # only CPU tests keep the all-on-device variant.
+            if densify_fn is not None:
+                def densify_branch(t):
+                    p, a, x, dropped = densify_fn(t[0], t[1], t[2], dkey)
+                    return (p, a, x), dropped
 
-            (params, adam, aux), metrics["densify_dropped"] = jax.lax.cond(
-                do_d,
-                densify_branch,
-                lambda t: (t, jnp.int32(0)),
-                (params, adam, aux),
-            )
-            params, adam = jax.lax.cond(
-                do_r,
-                lambda t: reset_fn(t[0], t[1]),
-                lambda t: t,
-                (params, adam),
-            )
+                (params, adam, aux), metrics["densify_dropped"] = (
+                    jax.lax.cond(
+                        do_d,
+                        densify_branch,
+                        lambda t: (t, jnp.int32(0)),
+                        (params, adam, aux),
+                    )
+                )
+            if reset_fn is not None:
+                params, adam = jax.lax.cond(
+                    do_r,
+                    lambda t: reset_fn(t[0], t[1]),
+                    lambda t: t,
+                    (params, adam),
+                )
             return (params, adam, aux), metrics
 
         xs = (steps, novel_cams_seq, bgs, keys, cond_static, cond_views,

@@ -296,7 +296,14 @@ class Stage1Trainer:
         # In-scan densify (lax.cond inside the fused scan) is kept for the
         # DP path and CPU tests; single-device TPU runs apply densify
         # between sub-scans (see train_segment / make_train_scan).
-        self.in_scan_densify = bool(opt.get("in_scan_densify", False))
+        # In-scan densify (lax.cond inside the fused scan) faults the
+        # real TPU backend at scale (see make_train_scan); default to
+        # host-side segment splitting there. CPU (tests, virtual-device
+        # meshes) keeps the all-on-device mesh variant.
+        self.in_scan_densify = bool(opt.get(
+            "in_scan_densify",
+            mesh is not None and jax.default_backend() != "tpu",
+        ))
         self.overflow = None  # device value of the last step/segment
         # Densify candidates dropped for lack of free capacity slots (the
         # reference grows unboundedly); nonzero triggers capacity growth.
@@ -590,6 +597,7 @@ class Stage1Trainer:
             if self.mesh is not None:
                 from ..parallel.dp import make_dp_train_scan
 
+                in_scan = self.in_scan_densify
                 self._step_fns[key] = make_dp_train_scan(
                     self.mesh,
                     novel_size=size,
@@ -601,8 +609,8 @@ class Stage1Trainer:
                     use_known_view=self.use_known_view,
                     warmup_rgb_loss=self.opt.get("warmup_rgb_loss", True),
                     lr_schedules=self.lr_schedules,
-                    densify_fn=self._densify_pure,
-                    reset_fn=reset_opacity,
+                    densify_fn=self._densify_pure if in_scan else None,
+                    reset_fn=reset_opacity if in_scan else None,
                     guidance_fns=self.guidance_fns,
                     max_tiles=self.max_tiles,
                     tile_axis=self.tile_axis,
@@ -649,15 +657,16 @@ class Stage1Trainer:
     def train_segment(self, k: int, iters: int):
         """Run k steps (uniform novel resolution) as fused scan dispatches.
 
-        Default single-device mode splits the segment at densify/opacity-
-        reset steps and applies those BETWEEN scans (host-side): the
-        in-scan ``lax.cond`` variant deterministically faults the TPU
-        backend at scale (see make_train_scan). Flag steps land on
-        interval multiples, so default configs still run one dispatch per
-        segment. ``in_scan_densify=True`` (opt key) or a mesh keeps the
-        all-on-device scan.
+        Default mode (single-device AND mesh-on-TPU) splits the segment
+        at densify/opacity-reset steps and applies those BETWEEN scans
+        (host-side): the in-scan ``lax.cond`` variant deterministically
+        faults the TPU backend at scale (see make_train_scan). Flag
+        steps land on interval multiples, so default configs still run
+        one dispatch per segment. ``in_scan_densify=True`` (opt key, the
+        default for meshes on non-TPU backends) keeps the all-on-device
+        scan.
         """
-        if self.mesh is not None or self.in_scan_densify:
+        if self.in_scan_densify:
             return self._scan_segment(k, iters)
         end = self.step + k
         losses = []

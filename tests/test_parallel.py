@@ -170,3 +170,45 @@ class TestMeshTrainer:
         tr = self._mk(mesh2d)
         losses = tr.train_segment(3, 12)
         assert np.isfinite(np.asarray(losses)).all()
+
+
+class TestMeshHostSplitDensify:
+    """Mesh mode with in_scan_densify=False (the TPU default — the
+    in-scan lax.cond + real guidance scan body faults the real TPU
+    backend, see make_train_scan) splits segments host-side and must
+    match the single-device host-split trainer exactly."""
+
+    def test_mesh_hostsplit_matches_single_device(self, mesh):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_stage1 import make_target, tiny_opt
+        from dreamgaussian_tpu.train import Stage1Trainer
+
+        rgb, mask = make_target(64)
+        kw = dict(
+            ref_size=64, novel_resolutions=[64, 64, 64], batch_size=8,
+            iters=12, density_start_iter=1, density_end_iter=10,
+            densification_interval=3, opacity_reset_interval=5,
+            in_scan_densify=False,
+        )
+        mk = lambda m: Stage1Trainer(  # noqa: E731
+            tiny_opt(**kw), ref_rgb=rgb, ref_mask=mask,
+            guidance_fns=((1.0, fake_guidance),), capacity=512, seed=0,
+            mesh=m,
+        )
+        tr_dp = mk(mesh)
+        tr_sd = mk(None)
+        assert not tr_dp.in_scan_densify  # explicit opt wins on CPU too
+        l_dp = tr_dp.train_segment(8, 12)
+        l_sd = tr_sd.train_segment(8, 12)
+        np.testing.assert_allclose(
+            np.asarray(l_dp), np.asarray(l_sd), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr_dp.params["xyz"]), np.asarray(tr_sd.params["xyz"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_dp.aux.alive), np.asarray(tr_sd.aux.alive)
+        )
+        assert tr_dp.step == 8

@@ -105,6 +105,49 @@ def build_guidances(opt, ref_rgb):
     return tuple(guidance_fns)
 
 
+def build_mesh(opt):
+    """Build a jax.sharding.Mesh from the ``mesh`` config key.
+
+    The reference pins one GPU (/root/reference/scripts/run.sh:1); the
+    TPU framework trains multi-chip. Accepted values:
+      mesh: 8              -> 1D data mesh over 8 devices
+      mesh: "data8"        -> same
+      mesh: "data4xtile2"  -> 2D mesh: views shard over 'data' (DP),
+                              each render's tile grid over 'tile' (SP)
+    Returns None when the key is absent (single-device training).
+    """
+    spec = opt.get("mesh", None)
+    if spec in (None, "", 0, False):
+        return None
+    import re
+
+    import jax
+    from jax.sharding import Mesh
+
+    if isinstance(spec, int) or (isinstance(spec, str) and spec.isdigit()):
+        axes = [("data", int(spec))]
+    else:
+        axes = []
+        for part in str(spec).split("x"):
+            m = re.fullmatch(r"(data|tile)(\d+)", part.strip())
+            if not m:
+                raise ValueError(
+                    f"bad mesh spec {spec!r}: use e.g. 8, 'data8', "
+                    "'data4xtile2'"
+                )
+            axes.append((m.group(1), int(m.group(2))))
+    names = [a for a, _ in axes]
+    sizes = [s for _, s in axes]
+    total = int(np.prod(sizes))
+    if jax.device_count() < total:
+        raise ValueError(
+            f"mesh {spec!r} needs {total} devices, have "
+            f"{jax.device_count()}"
+        )
+    devs = np.array(jax.devices()[:total]).reshape(sizes)
+    return Mesh(devs, tuple(names))
+
+
 def run(opt) -> dict:
     import jax
 
@@ -126,6 +169,11 @@ def run(opt) -> dict:
 
     guidance_fns = build_guidances(opt, ref_rgb)
 
+    mesh = build_mesh(opt)
+    if mesh is not None:
+        axes = "x".join(f"{k}={v}" for k, v in
+                        zip(mesh.axis_names, mesh.devices.shape))
+        print(f"[INFO] training on a {axes} device mesh")
     trainer = Stage1Trainer(
         opt,
         ref_rgb=ref_rgb,
@@ -133,6 +181,7 @@ def run(opt) -> dict:
         guidance_fns=guidance_fns,
         capacity=opt.get("capacity", 16384),
         seed=opt.get("seed", 0),
+        mesh=mesh,
     )
     ckpt_dir = opt.get("checkpoint_dir", None)
     if opt.get("resume", False) and ckpt_dir and os.path.exists(ckpt_dir):

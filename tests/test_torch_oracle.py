@@ -290,3 +290,84 @@ class TestRealSize:
         np.testing.assert_allclose(
             np.asarray(out), ref.numpy(), atol=self.ATOL, rtol=1e-4
         )
+
+
+class TestRefineDDIM:
+    """The fused stage-2 refine (one jitted DDIM img2img tail,
+    guidance/sds.py _fused_ddim_loop + Zero123Guidance.refine_fn) vs an
+    independent torch re-derivation of the diffusers DDIM semantics
+    (torch_oracle.ddim_img2img_refine) on a tiny synthetic checkpoint.
+    This is the one guidance layer with no oracle until now (VERDICT r3
+    #6): the refine IS the entire stage-2 training signal
+    (/root/reference/guidance/zero123_utils.py:75-118)."""
+
+    @pytest.mark.parametrize("strength", [0.8, 0.4])
+    def test_zero123_refine_matches_torch(self, strength):
+        import jax
+
+        from dreamgaussian_tpu.guidance.loader import _backbone_from_params
+        from dreamgaussian_tpu.guidance.sds import Zero123Guidance
+
+        unet_cfg = syn.TINY_ZERO123_CONFIG
+        vae_cfg = syn.TINY_VAE_CONFIG
+        unet_sd = syn.synth_diffusers_unet(unet_cfg, seed=20)
+        vae_sd = syn.synth_diffusers_vae(vae_cfg, seed=21)
+        unet_params = convert_unet(unet_sd, unet_cfg)
+        vae_params = convert_vae(vae_sd, vae_cfg)
+        unet = UNet(unet_cfg)
+        vae = AutoencoderKL(vae_cfg)
+        image_size = 32
+        factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        lat_hw = image_size // factor
+        bk = _backbone_from_params(
+            unet, unet_params, vae, vae_params, image_size
+        )._replace(latent_size=lat_hw)
+
+        rng = np.random.default_rng(22)
+        ctx_dim = unet_cfg.cross_attention_dim
+        clip_emb = rng.normal(size=(1, ctx_dim - 4)).astype(np.float32) * 0.1
+        w = rng.normal(size=(ctx_dim, ctx_dim)).astype(np.float32) * 0.05
+        bias = rng.normal(size=(ctx_dim,)).astype(np.float32) * 0.01
+        vae_latent = rng.normal(
+            size=(1, lat_hw, lat_hw, vae_cfg.latent_channels)
+        ).astype(np.float32) * 0.1
+        g = Zero123Guidance(
+            bk, clip_emb=jnp.asarray(clip_emb),
+            vae_latent=jnp.asarray(vae_latent),
+            cam_proj=(jnp.asarray(w), jnp.asarray(bias)),
+            image_size=image_size,
+        )
+
+        b, steps, gs = 2, 8, 5.0
+        images = rng.uniform(size=(b, image_size, image_size, 3)).astype(
+            np.float32)
+        cond = {
+            "vers": np.array([10.0, -20.0], np.float32),
+            "hors": np.array([30.0, -90.0], np.float32),
+            "radii": np.array([0.0, 0.1], np.float32),
+        }
+        key = jax.random.PRNGKey(23)
+        fn = g.refine_fn(steps=steps, guidance_scale=gs)
+        out = fn(jnp.asarray(images), cond, jnp.float32(strength), key)
+
+        # torch side: same conditioning values and the SAME q-sample
+        # noise draw (the RNG is jax's; the oracle checks the math chain,
+        # not the PRNG), everything else independently derived.
+        cc = np.asarray(g._cond_tokens(
+            jnp.asarray(cond["vers"]), jnp.asarray(cond["hors"]),
+            jnp.asarray(cond["radii"]), b,
+        ))
+        k_n, _ = jax.random.split(key)
+        noise = np.asarray(jax.random.normal(
+            k_n, (b, lat_hw, lat_hw, vae_cfg.latent_channels)))
+        vae_emb = np.broadcast_to(
+            vae_latent, (b,) + vae_latent.shape[1:]).copy()
+        ref = oracle.ddim_img2img_refine(
+            unet_sd, unet_cfg, vae_sd, vae_cfg,
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(noise.transpose(0, 3, 1, 2)),
+            torch.from_numpy(cc),
+            torch.from_numpy(vae_emb.transpose(0, 3, 1, 2)),
+            steps=steps, strength=strength, guidance_scale=gs,
+        )
+        _cmp(out, ref, atol=5e-4, rtol=1e-3)

@@ -469,3 +469,64 @@ def open_clip_text_forward(sd, cfg, ids, prefix="cond_stage_model.model."):
         h = F.gelu(_lin(sd, bp + ".mlp.c_fc", h))
         x = x + _lin(sd, bp + ".mlp.c_proj", h)
     return _ln(sd, g("ln_final"), x)
+
+
+# ---------------------------------------------------------------------------
+# DDIM img2img refine oracle (the stage-2 training signal)
+# ---------------------------------------------------------------------------
+
+
+def ddim_alphas_cumprod(num_train_timesteps=1000, beta_start=0.00085,
+                        beta_end=0.012):
+    """scaled_linear betas in float64, as diffusers DDIMScheduler."""
+    betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                        num_train_timesteps, dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def ddim_img2img_refine(unet_sd, unet_cfg, vae_sd, vae_cfg, images, noise,
+                        cam_tokens, vae_emb, steps, strength,
+                        guidance_scale, num_train_timesteps=1000):
+    """Independent torch img2img DDIM tail: the refine loop of
+    /root/reference/guidance/zero123_utils.py:75-118 re-derived from
+    diffusers semantics (leading-spaced descending timesteps, eta=0
+    update, final_alpha_cumprod = alphas_cumprod[0], epsilon
+    prediction), NOT a port of guidance/sds.py.
+
+    images: [B,3,H,W] in [0,1]; noise: [B,4,h,w] (the q-sample draw);
+    cam_tokens: [B,1,D] conditioned context; vae_emb: [B,4,h,w] the
+    reference-image latent concatenated on channels (zero123's 8-ch
+    input). Returns decoded images [B,3,H,W] in [0,1].
+    """
+    ac = torch.from_numpy(ddim_alphas_cumprod(num_train_timesteps))
+    scaling = vae_cfg.scaling_factor
+
+    x = images * 2.0 - 1.0
+    moments = vae_encode_moments(vae_sd, vae_cfg, x, layout="diffusers")
+    lat = moments[:, : moments.shape[1] // 2] * scaling
+
+    spacing = num_train_timesteps // steps
+    ts = (np.arange(steps)[::-1] * spacing).astype(np.int64)
+    init_step = int(np.clip(np.floor(steps * strength), 0, steps - 1))
+    t0 = int(ts[init_step])
+    lat = ac[t0].sqrt() * lat + (1.0 - ac[t0]).sqrt() * noise
+
+    b = lat.shape[0]
+    ctx = torch.cat([cam_tokens, torch.zeros_like(cam_tokens)])
+    vae_in = torch.cat([vae_emb, torch.zeros_like(vae_emb)])
+    for i in range(init_step, steps):
+        t = int(ts[i])
+        x_in = torch.cat([torch.cat([lat] * 2), vae_in], dim=1)
+        t_in = torch.full((2 * b,), float(t))
+        eps = diffusers_unet_forward(unet_sd, unet_cfg, x_in, t_in, ctx)
+        eps_cond, eps_uncond = eps.chunk(2)
+        eps_hat = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+        prev_t = t - spacing
+        a_t = ac[t]
+        a_prev = ac[prev_t] if prev_t >= 0 else ac[0]
+        x0 = (lat - (1.0 - a_t).sqrt() * eps_hat) / a_t.sqrt()
+        lat = a_prev.sqrt() * x0 + (1.0 - a_prev).sqrt() * eps_hat
+
+    dec = vae_decode(vae_sd, vae_cfg, lat / scaling, layout="diffusers")
+    return (dec * 0.5 + 0.5).clamp(0.0, 1.0)

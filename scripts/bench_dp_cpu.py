@@ -60,23 +60,31 @@ def measure(mesh, data_sz: int, size: int = 64, k: int = 10) -> float:
     )
     losses = tr.train_segment(k, 1000)  # warm (compile)
     jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    losses = tr.train_segment(k, 1000)
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / k
+    # Median of 5 repeats: single-shot vdev numbers swung 1.8x between
+    # consecutive r3 runs on the timeshared host (VERDICT r3 weak #6);
+    # the median is regression-grade (observed spread within ~10%).
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        losses = tr.train_segment(k, 1000)
+        jax.block_until_ready(losses)
+        reps.append((time.perf_counter() - t0) / k)
+    dt = float(np.median(reps))
     views = tr.batch_size * tr.n_views
-    return size * size * views / dt
+    return size * size * views / dt, reps
 
 
 def main() -> None:
     devs = np.array(jax.devices())
-    out = {}
-    r1 = measure(Mesh(devs[:1], ("data",)), 1)
-    r8 = measure(Mesh(devs[:8], ("data",)), 8)
+    r1, reps1 = measure(Mesh(devs[:1], ("data",)), 1)
+    r8, reps8 = measure(Mesh(devs[:8], ("data",)), 8)
+    spread = lambda r: round(max(r) / min(r), 2)  # noqa: E731
     out = {
         "rays_per_s_vdev1": round(r1, 0),
         "rays_per_s_vdev8": round(r8, 0),
         "vdev8_over_vdev1": round(r8 / r1, 3),
+        "median_of": 5,
+        "rep_spread": {"vdev1": spread(reps1), "vdev8": spread(reps8)},
         "note": "8 virtual devices timeshare the host cores; this "
                 "validates the production sharded path, not ICI scaling",
     }

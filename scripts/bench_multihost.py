@@ -42,8 +42,9 @@ sys.path.insert(0, REPO)
 
 
 def worker(args) -> None:
-    """Measure rays/s of the DP train step on the global mesh; proc 0
-    prints one JSON line."""
+    """Measure rays/s of the PRODUCTION Stage1Trainer (mesh mode, fused
+    shard_map'd scan — the same path cli.main runs with the ``mesh``
+    config key) on the global mesh; proc 0 prints one JSON line."""
     import numpy as np
 
     import jax
@@ -57,13 +58,10 @@ def worker(args) -> None:
             process_id=args.proc_id,
         )
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
-    from dreamgaussian_tpu.parallel import make_dp_train_step
-    from dreamgaussian_tpu.scene import adam_init, init_random
-    from dreamgaussian_tpu.utils.camera import (
-        Camera, orbit_camera, stack_cameras,
-    )
+    from dreamgaussian_tpu.train import Stage1Trainer
+    from dreamgaussian_tpu.utils.config import Config
 
     devs = np.array(jax.devices())
     n_views = devs.size * args.views_per_device
@@ -73,63 +71,32 @@ def worker(args) -> None:
     def fake_guidance(images, cond, step_ratio, key):
         return jnp.mean((images - 0.5) ** 2)
 
-    lrs = {
-        "total_iters": 100.0, "xyz": lambda s: 1e-3, "f_dc": 1e-2,
-        "f_rest": 5e-4, "opacity": 0.05, "scaling": 5e-3, "rotation": 5e-3,
-    }
-    step_fn = make_dp_train_step(
-        mesh, novel_size=size, ref_size=size, sh_degree=0,
-        views_per_device=args.views_per_device, use_known_view=True,
-        warmup_rgb_loss=False, lr_schedules=lrs,
-        guidance_fns=((1.0, fake_guidance),),
+    # Same host-side RNG seed on every process => identical cameras/keys
+    # on all controllers; the scan itself is SPMD over the global mesh.
+    rng = np.random.default_rng(0)
+    ref_rgb = rng.uniform(size=(size, size, 3)).astype(np.float32)
+    ref_mask = (ref_rgb[..., 0] > 0.3).astype(np.float32)
+    opt = Config(dict(
+        iters=1000, ref_size=size, num_pts=args.num_pts, sh_degree=0,
+        batch_size=n_views, novel_resolutions=[size, size, size],
+        warmup_rgb_loss=False, density_start_iter=10000,
+        density_end_iter=10000, densification_interval=100,
+        opacity_reset_interval=10000, elevation=0, radius=2.0,
+        fovy=49.1, min_ver=-30, max_ver=30, invert_bg_prob=0.5,
+    ))
+    tr = Stage1Trainer(
+        opt, ref_rgb=ref_rgb, ref_mask=ref_mask,
+        guidance_fns=((1.0, fake_guidance),), capacity=args.capacity,
+        seed=0, mesh=mesh,
     )
-
-    params, aux = init_random(
-        jax.random.PRNGKey(0), num_pts=args.num_pts, capacity=args.capacity
-    )
-    adam = adam_init(params)
-
-    fov = 0.857
-    cams = [
-        Camera.from_pose(
-            orbit_camera(10.0, 360.0 / n_views * i - 180.0, 2.0),
-            size, size, fov, fov,
-        )
-        for i in range(n_views)
-    ]
-    novel_np = {k: np.asarray(v) for k, v in stack_cameras(cams).items()}
-    known = Camera.from_pose(
-        orbit_camera(0.0, 0.0, 2.0), size, size, fov, fov
-    ).arrays()
-
-    def put(x, spec):
-        x = np.asarray(x)
-        return jax.make_array_from_callback(
-            x.shape, NamedSharding(mesh, spec), lambda idx: x[idx]
-        )
-
-    novel = {k: put(v, P("data")) for k, v in novel_np.items()}
-    repl = lambda t: jax.tree.map(lambda x: put(x, P()), t)  # noqa: E731
-    params, adam, aux = repl(params), repl(adam), repl(aux)
-    known_r = repl(dict(known))
-    bg = put(np.ones(3, np.float32), P())
-    ref_rgb = repl(jnp.full((size, size, 3), 0.5))
-    ref_mask = repl(jnp.ones((size, size)))
-
-    def run(k0, n):
-        nonlocal params, adam, aux
-        for i in range(n):
-            key = put(np.asarray(jax.random.PRNGKey(k0 + i)), P())
-            params, adam, aux, metrics = step_fn(
-                params, adam, aux, jnp.float32(1.0 + i), known_r, novel,
-                bg, ref_rgb, ref_mask, key, {},
-            )
-        jax.block_until_ready(params["xyz"])
-
-    run(0, 3)                       # compile + warm
-    t0 = time.perf_counter()
-    run(100, args.steps)
-    dt = (time.perf_counter() - t0) / args.steps
+    k = args.steps
+    jax.block_until_ready(tr.train_segment(k, 1000))  # compile + warm
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tr.train_segment(k, 1000))
+        reps.append((time.perf_counter() - t0) / k)
+    dt = float(np.median(reps))
 
     if args.proc_id == 0:
         print(json.dumps({
@@ -139,6 +106,9 @@ def worker(args) -> None:
             "size": size,
             "s_per_step": round(dt, 5),
             "rays_per_s": round(size * size * n_views / dt, 0),
+            "median_of": 3,
+            "rep_spread": round(max(reps) / min(reps), 2),
+            "trainer": "Stage1Trainer(mesh) fused scan",
         }), flush=True)
     if args.num_procs > 1:
         jax.distributed.shutdown()

@@ -201,10 +201,13 @@ def aligned_capacity(n: int, max_tiles: int, num_tiles: int, chunk: int,
 
 
 def default_big(n: int, max_tiles: int, num_tiles: int) -> tuple[int, int]:
-    """Default big-class sizing: top n/16 footprints get 4x the base
-    budget in extra slots (bounded by the tile count)."""
-    num_big = min(n, max(64, n // 16))
-    big_budget = min(4 * max_tiles, max(0, num_tiles - max_tiles))
+    """Default big-class sizing: top n/32 footprints get 3x the base
+    budget in extra slots (bounded by the tile count). Sized DOWN from
+    n/16 x 4x in r4: big-class slots join every scatter/gather over the
+    aligned array (the 457 us dup_map scatter is update-count-bound),
+    and overflow-escalation already covers the tail."""
+    num_big = min(n, max(64, n // 32))
+    big_budget = min(3 * max_tiles, max(0, num_tiles - max_tiles))
     return num_big, big_budget
 
 

@@ -195,7 +195,6 @@ def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
     cs0 = cs_ref[tb0]
     cs1 = cs_ref[tb0 + bt]
     strict_upper, _, _ = _tri_masks(chunk)
-    ones_c = jnp.ones((chunk, 1), _f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     mono = _monomial_cols(tile)
 
@@ -266,7 +265,9 @@ def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         # own (1-alpha) — read off t_g's last column instead of another
         # [C,1] matmul + exp.
         t_naive = t_g[:, chunk - 1:chunk] * (1.0 - alpha[:, chunk - 1:chunk])
-        t_true = t_true * jnp.exp(_dot(lg * m, ones_c))
+        t_true = t_true * jnp.exp(
+            jnp.sum(lg * m, axis=1, keepdims=True)
+        )
 
         @pl.when(is_last)
         def _():

@@ -37,7 +37,15 @@ from ..render.mesh_renderer import MeshRendererState, render_mesh
 from ..scene.optim import AdamState, adam_init, adam_update
 from ..utils.camera import Camera, orbit_camera
 
-SSAA_CHOICES = (0.5, 1.0, 2.0)
+# Quantized form of the reference's continuous SSAA jitter
+# ``min(2, max(0.125, 2*rand()))`` (/root/reference/main2.py:213): the
+# uniform[0.125, 2] draw has E[ssaa^2] ~= 1.42; these four bin centers
+# (uniform weights) give 1.31 — closer than the previous {0.5, 1, 2}
+# set's 1.75, and the worst-case render drops from 4x to 3.06x pixels
+# (the texture-sample scatter-adds scale with pixel count and dominate
+# the stage-2 step). All choices keep size*ssaa divisible by 32 at the
+# 512 default (128/384/640/896).
+SSAA_CHOICES = (0.25, 0.75, 1.25, 1.75)
 
 
 class Stage2Trainer:

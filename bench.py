@@ -222,7 +222,7 @@ def bench_stage2(g, iters_measure: int = 10):
         # grad programs) and BLOCK each iteration: the SSAA jitter makes
         # per-iter cost trimodal, so only a per-iter-blocked mean over a
         # full SSAA cycle is honest.
-        for _ in range(8):
+        for _ in range(12):
             trainer.train_step()
             jax.block_until_ready(trainer.params["raw_albedo"])
         t0 = time.perf_counter()

@@ -36,8 +36,12 @@ import time
 import numpy as np
 
 
-def bench_rasterizer(iters: int = 30):
-    """Steady-state fwd+bwd Mpix/s of the tile rasterizer at 512^2."""
+def bench_rasterizer(iters: int = 30, n: int = 8192, max_tiles: int = 12):
+    """Steady-state fwd+bwd Mpix/s of the tile rasterizer at 512^2.
+
+    ``n=32768`` is the stressed row (real training ends the 512 rung
+    with ~12k alive and growing; 8k flatters the kernel — VERDICT r3).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +50,6 @@ def bench_rasterizer(iters: int = 30):
     from dreamgaussian_tpu.utils.camera import Camera, orbit_camera
     import math
 
-    n = 8192
     size = 512
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.normal(size=(n, 3)) * 0.35, jnp.float32)
@@ -67,7 +70,7 @@ def bench_rasterizer(iters: int = 30):
         out = render_gaussians(
             xyz, scale, quat, opacity, shs, a["view"], a["full_proj"],
             a["campos"], a["tanfov"], size, size, jnp.ones(3),
-            sh_degree=0, tile=32, max_tiles=12,
+            sh_degree=0, tile=32, max_tiles=max_tiles,
         )
         return jnp.sum(out.image ** 2) + jnp.sum(out.alpha)
 
@@ -264,6 +267,7 @@ def main() -> None:
     from dreamgaussian_tpu.utils.config import Config
 
     rast = bench_rasterizer()
+    rast32k = bench_rasterizer(n=32768)
 
     img = np.asarray(
         Image.open("/root/reference/data/anya_rgba.png").resize((256, 256))
@@ -391,6 +395,7 @@ def main() -> None:
         "extra": {
             "guidance": guidance_kind,
             "rasterize_fwd_bwd_512": rast,
+            "rasterize_fwd_bwd_512_32k": rast32k,
             "s_per_iter": s_per_iter,
             "per_rung_split": split,
             "rays_per_s": rays_per_s,

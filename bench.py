@@ -214,7 +214,7 @@ def bench_stage2(g, iters_measure: int = 10):
     opt = Config(dict(
         iters_refine=50, ref_size=256, novel_resolution=512, batch_size=1,
         elevation=0, radius=2.0, fovy=49.1, min_ver=-30, max_ver=30,
-        texture_lr=0.2, geom_lr=1e-4, train_geo=False, phase_timing=True,
+        texture_lr=0.2, geom_lr=1e-4, train_geo=False,
     ))
     entry = (1.0,) + g.refine_args(steps=50)
     tr = Stage2Trainer(opt, mesh, refine_fns=(entry,), seed=0)
@@ -239,8 +239,13 @@ def bench_stage2(g, iters_measure: int = 10):
     # (VERDICT r3 weak #7: the refine-less twin used for subtraction
     # DCE'd the novel renders and misattributed them). target = novel
     # render + fused DDIM refine; grad = mesh render + losses + backward
-    # + Adam.
-    pt = tr.phase_times[-iters_measure:]
+    # + Adam. A SEPARATE phase-timed twin (same seed) supplies the split
+    # so its extra per-phase syncs don't pollute the throughput number.
+    tr2 = Stage2Trainer(Config(dict(opt, phase_timing=True)), mesh,
+                        refine_fns=(entry,), seed=0)
+    for _ in range(12 + iters_measure):
+        tr2.train_step()
+    pt = tr2.phase_times[-iters_measure:]
     tgt_s = float(np.mean([a for a, _ in pt]))
     grad_s = float(np.mean([b for _, b in pt]))
 

@@ -344,10 +344,19 @@ class Stage2Trainer:
             e[2] if len(e) > 2 else () for e in self.refine_fns
         )
 
+        # The TARGET render's only consumer is the refine input, which
+        # every guidance downsamples to its 256^2 image_size before the
+        # VAE — rendering it at the jittered SSAA wastes up to 12x the
+        # pixels for an image about to be shrunk. A fixed 0.5 SSAA
+        # (256^2 internal at the 512 default) is resolution-exact for
+        # the refine input and collapses the 4 jitter-compiled target
+        # programs into one. The GRAD render keeps the jitter (it
+        # shapes silhouette gradients, /root/reference/main2.py:213).
+        ssaa_tgt = self.opt.get("target_render_ssaa", 0.5)
         phase_timing = self.opt.get("phase_timing", False)
         if phase_timing:
             t0 = time.perf_counter()
-        targets = self._get_target_fn(len(cams), ssaa_novel)(
+        targets = self._get_target_fn(len(cams), ssaa_tgt)(
             self.params, novel_arrs, novel_rots, cond, strength, key_r,
             gparams,
         )

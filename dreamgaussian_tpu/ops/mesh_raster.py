@@ -131,9 +131,13 @@ def rasterize(
 
     # ---- Deferred differentiable barycentrics for the winners.
     fidx = jnp.clip(tri_id - 1, 0, nf - 1)         # [H, W]
-    tri = _take_rows(faces, fidx)                  # [H, W, 3]
-    p = _take_rows(xy, tri)                        # [H, W, 3, 2] DIFFERENTIABLE
-    pw = _take_rows(w_clip[:, None], tri)[..., 0]  # [H, W, 3]
+    fa = _take_rows(
+        _face_attrs(jnp.concatenate([xy, w_clip[:, None]], axis=1), faces),
+        fidx,
+    )                                              # [H, W, 9] DIFFERENTIABLE
+    fa = fa.reshape(fa.shape[:-1] + (3, 3))
+    p = fa[..., :2]                                # [H, W, 3, 2]
+    pw = fa[..., 2]                                # [H, W, 3]
 
     px = (jnp.arange(width, dtype=jnp.float32))[None, :, None]
     py = (jnp.arange(height, dtype=jnp.float32))[:, None, None]
@@ -212,6 +216,20 @@ def _tap(flat, idx2d):
     return _tex_gather(flat, idx2d.reshape(-1)).reshape(idx2d.shape + (c,))
 
 
+def _face_attrs(attrs: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-vertex attrs face-major: [V, A] -> [F, 3*A].
+
+    TPU gathers cost ~140M rows/s regardless of row width, so the
+    per-pixel lookup should be ONE face-major row instead of a faces
+    row plus three attrs rows (4 gathered rows -> 1; measured ~9 ->
+    ~3 ms per 640^2 stage-2 interpolate). The pack itself is an F-row
+    gather (faces are a few thousand). The VJP scatter likewise shrinks
+    from 3 per-pixel vertex rows to one face row.
+    """
+    f3a = jnp.take(attrs, faces.reshape(-1), axis=0)     # [F*3, A]
+    return f3a.reshape(faces.shape[0], 3 * attrs.shape[-1])
+
+
 def interpolate(
     attrs: jnp.ndarray, faces: jnp.ndarray, rast: RastOut
 ) -> jnp.ndarray:
@@ -221,8 +239,8 @@ def interpolate(
     """
     nf = faces.shape[0]
     fidx = jnp.clip(rast.tri_id - 1, 0, nf - 1)
-    tri = _take_rows(faces, fidx)          # [H, W, 3]
-    a = _take_rows(attrs, tri)             # [H, W, 3, A]
+    fa = _take_rows(_face_attrs(attrs, faces), fidx)  # [H, W, 3A]
+    a = fa.reshape(fa.shape[:-1] + (3, attrs.shape[-1]))
     out = jnp.sum(a * rast.bary[..., None], axis=-2)
     return jnp.where(rast.mask[..., None], out, 0.0)
 
@@ -237,8 +255,8 @@ def interpolate_with_derivs(
     assert rast.bary_dx is not None, "rasterize(..., derivs=True) required"
     nf = faces.shape[0]
     fidx = jnp.clip(rast.tri_id - 1, 0, nf - 1)
-    tri = _take_rows(faces, fidx)
-    a = _take_rows(attrs, tri)             # [H, W, 3, A]
+    fa = _take_rows(_face_attrs(attrs, faces), fidx)
+    a = fa.reshape(fa.shape[:-1] + (3, attrs.shape[-1]))
     out = jnp.sum(a * rast.bary[..., None], axis=-2)
     ddx = jnp.sum(a * rast.bary_dx[..., None], axis=-2)
     ddy = jnp.sum(a * rast.bary_dy[..., None], axis=-2)

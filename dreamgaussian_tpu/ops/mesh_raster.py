@@ -184,11 +184,12 @@ def _tex_gather(table, idx):
 
     The standard gather VJP scatter-adds into an [S, C] cotangent whose
     layout XLA assigns from the mip-chain consumers — it picks
-    channel-major {0,1:T(4,128)}, and both the scatter AND the forward
-    taps then take the scalar path (~42 ms per 1M-update scatter at
-    1024^2 SSAA-2, 8 of them per stage-2 grad step = 85% of the step).
-    Scattering each channel into a 1-D [S] table has no layout freedom:
-    the same scatter runs vectorized in ~0.04 ms (measured on v5e).
+    channel-major {0,1:T(4,128)}, and the scatter then runs at ~24M
+    updates/s (~42 ms per 1M-update scatter at 1024^2 SSAA-2, 8 of
+    them per stage-2 grad step = 85% of the step). Scattering each
+    channel into a 1-D [S] table has no layout freedom and runs ~5x
+    faster (~110M updates/s on v5e) — still scalar-core work, but the
+    fastest scatter form measured.
     """
     return jnp.take(table, idx, axis=0)
 

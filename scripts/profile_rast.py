@@ -1,5 +1,12 @@
 """Component-level timing of the 512^2/8k rasterizer fwd+bwd (bench row).
 
+DEPRECATED for attribution: per-call timing through the axon tunnel
+carries ~0.5-0.8 ms per dispatch, which dwarfs sub-ms ops (a [8192]
+top_k "measures" 1.1 ms). Use a jax.profiler trace and read
+device_duration_ps per op instead (see PROGRESS.md round-4 notes and
+scripts/profile_rast2.py's caveats); keep this only for quick A/B
+deltas of the large pieces.
+
 Times, each as its own jitted steady-state loop on the real device:
   - project only
   - binning only

@@ -1,5 +1,11 @@
-"""Dispatch-free rasterizer profiling: every stage timed as an in-graph
-lax.fori_loop chain (one dispatch per measurement), at 512^2/8k/tile 32.
+"""Rasterizer stage timing via in-graph lax.fori_loop chains at
+512^2/8k/tile 32.
+
+CAVEAT (measured later in round 4): on the axon platform a fori_loop
+chain iteration itself costs ~0.5 ms, so the ABSOLUTE numbers here are
+inflated per stage; DIFFERENCES between variants remain valid. For
+per-op truth capture a jax.profiler trace and read device_duration_ps
+(PROGRESS.md round-4 notes).
 
 profile_binning.py showed a ~0.8 ms per-call dispatch floor through the
 axon tunnel, which contaminated profile_rast.py's piecewise rows (a

@@ -35,8 +35,13 @@ def build_guidances(opt, ref_rgb):
         if ckpt:
             from ..guidance.loader import load_zero123
 
+            # ref_image is REQUIRED (the conditioning view — the
+            # reference sets it via get_img_embeds); omitting it here
+            # crashed the real-checkpoint path at startup (caught by
+            # tests/test_weights_day.py).
             g = load_zero123(
-                ckpt, stable=opt.get("stable_zero123", False),
+                ckpt, ref_image=ref_rgb,
+                stable=opt.get("stable_zero123", False),
                 default_elevation=opt.get("elevation", 0),
             )
             guidance_fns.append((lam_123,) + g.guidance_args())

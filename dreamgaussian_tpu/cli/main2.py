@@ -15,21 +15,35 @@ import numpy as np
 
 
 def build_refiners(opt, ref_rgb):
-    """(weight, fn, net_params) refine entries — every guidance uses its
-    FUSED jitted refine loop (guidance/sds.py ``refine_args``: one
-    compiled program per guidance, strength traced)."""
+    """((weight, fn, net_params) refine entries, max refine image_size).
+
+    Every guidance uses its FUSED jitted refine loop (guidance/sds.py
+    ``refine_args``: one compiled program per guidance, strength
+    traced). The second return value is the largest ``image_size`` the
+    enabled guidances resize the refine input to (None when no guidance
+    is enabled) — Stage2Trainer derives its target-render SSAA from it,
+    so e.g. SD's 512^2 refine input is rendered at full resolution while
+    zero123's 256^2 one is not over-rendered.
+    """
     refine_fns = []
+    sizes = []
     use_fake = opt.get("fake_guidance", False)
     lam_sd = opt.get("lambda_sd", 0)
     lam_123 = opt.get("lambda_zero123", 0)
     steps = opt.get("refine_steps", 50)
 
+    def done():
+        return tuple(refine_fns), (max(sizes) if sizes else None)
+
     if lam_123 > 0 and ref_rgb is not None:
         if opt.get("zero123_ckpt", None):
             from ..guidance.loader import load_zero123
 
+            # ref_image is REQUIRED (same crash as cli.main's zero123
+            # path — caught by tests/test_weights_day.py).
             g = load_zero123(
-                opt.zero123_ckpt, stable=opt.get("stable_zero123", False),
+                opt.zero123_ckpt, ref_image=ref_rgb,
+                stable=opt.get("stable_zero123", False),
                 default_elevation=opt.get("elevation", 0),
             )
         elif use_fake:
@@ -40,8 +54,9 @@ def build_refiners(opt, ref_rgb):
                 default_elevation=opt.get("elevation", 0),
             )
         else:
-            return tuple(refine_fns)
+            return done()
         refine_fns.append((lam_123,) + g.refine_args(steps=steps))
+        sizes.append(g.image_size)
     if lam_sd > 0 and (opt.get("prompt", "") or opt.get("imagedream", False)):
         if opt.get("imagedream", False):
             if opt.get("sd_ckpt", None):
@@ -57,7 +72,7 @@ def build_refiners(opt, ref_rgb):
 
                 g = fake_imagedream_guidance()
             else:
-                return tuple(refine_fns)
+                return done()
         elif opt.get("mvdream", False):
             if opt.get("sd_ckpt", None):
                 from ..guidance.loader import load_mvdream
@@ -71,7 +86,7 @@ def build_refiners(opt, ref_rgb):
 
                 g = fake_mvdream_guidance()
             else:
-                return tuple(refine_fns)
+                return done()
         else:
             if opt.get("sd_ckpt", None):
                 from ..guidance.loader import load_stable_diffusion
@@ -85,9 +100,10 @@ def build_refiners(opt, ref_rgb):
 
                 g = fake_sd_guidance()
             else:
-                return tuple(refine_fns)
+                return done()
         refine_fns.append((lam_sd,) + g.refine_args(steps=steps))
-    return tuple(refine_fns)
+        sizes.append(g.image_size)
+    return done()
 
 
 def run(opt) -> dict:
@@ -132,10 +148,11 @@ def run(opt) -> dict:
         ref_mask = rgba[..., 3]
         ref_rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
 
-    refine_fns = build_refiners(opt, ref_rgb)
+    refine_fns, refine_image_size = build_refiners(opt, ref_rgb)
     trainer = Stage2Trainer(
         opt, mesh, ref_rgb=ref_rgb, ref_mask=ref_mask,
-        refine_fns=refine_fns, seed=opt.get("seed", 0),
+        refine_fns=refine_fns, refine_image_size=refine_image_size,
+        seed=opt.get("seed", 0),
     )
     stats = trainer.train(opt.get("iters_refine", 50))
     print(f"[INFO] stage 2 done: {stats}")

@@ -46,7 +46,8 @@ select,button { background:#222; color:#ddd; border:1px solid #555 }
 </div>
 <img id="view" width="512" height="512"/>
 <script>
-let elev=0, azim=0, radius=2.0, drag=null, inflight=false, dirty=true;
+let elev=0, azim=0, radius=2.0, tx=0, ty=0, tz=0;
+let drag=null, pan=null, inflight=false, dirty=true;
 const img=document.getElementById('view');
 const mode=document.getElementById('mode');
 function refresh(){
@@ -54,7 +55,8 @@ function refresh(){
   inflight=true; dirty=false;
   const t0=performance.now();
   const u=`/render?elev=${elev.toFixed(1)}&azim=${azim.toFixed(1)}`+
-          `&radius=${radius.toFixed(2)}&mode=${mode.value}`;
+          `&radius=${radius.toFixed(2)}&mode=${mode.value}`+
+          `&tx=${tx.toFixed(4)}&ty=${ty.toFixed(4)}&tz=${tz.toFixed(4)}`;
   fetch(u).then(r=>r.blob()).then(b=>{
     img.src=URL.createObjectURL(b);
     document.getElementById('stat').textContent=
@@ -63,9 +65,25 @@ function refresh(){
     inflight=false; if(dirty) refresh();
   });
 }
-img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault()};
-window.onmouseup=()=>drag=null;
+img.onmousedown=e=>{
+  if(e.button===2||e.shiftKey) pan=[e.clientX,e.clientY];
+  else drag=[e.clientX,e.clientY];
+  e.preventDefault()};
+img.oncontextmenu=e=>e.preventDefault();
+window.onmouseup=()=>{drag=null;pan=null};
 window.onmousemove=e=>{
+  if(pan){
+    // pan the orbit target in the camera plane (right-drag/shift-drag,
+    // the dearpygui middle-drag analogue)
+    const az=azim*Math.PI/180, el=elev*Math.PI/180;
+    const sx=[Math.cos(az),0,-Math.sin(az)];             // camera right
+    const sy=[Math.sin(el)*Math.sin(az),Math.cos(el),
+              Math.sin(el)*Math.cos(az)];                // camera up
+    const s=0.0015*radius, dx=e.clientX-pan[0], dy=e.clientY-pan[1];
+    tx+=s*(-dx*sx[0]+dy*sy[0]); ty+=s*(-dx*sx[1]+dy*sy[1]);
+    tz+=s*(-dx*sx[2]+dy*sy[2]);
+    pan=[e.clientX,e.clientY]; refresh(); return;
+  }
   if(!drag) return;
   azim-= (e.clientX-drag[0])*0.5; elev+=(e.clientY-drag[1])*0.5;
   elev=Math.max(-89,Math.min(89,elev));
@@ -141,14 +159,15 @@ class ViewerState:
                 loss = self.trainer.train_step()
             self.last_loss = float(loss)
 
-    def render(self, elev: float, azim: float, radius: float, mode: str):
+    def render(self, elev: float, azim: float, radius: float, mode: str,
+               target=None):
         import jax.numpy as jnp
 
         from ..utils.camera import Camera, orbit_camera
 
         cam = Camera.from_pose(
-            orbit_camera(elev, azim, radius), self.size, self.size,
-            self.fovy, self.fovy,
+            orbit_camera(elev, azim, radius, target=target),
+            self.size, self.size, self.fovy, self.fovy,
         )
         arr = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
         with self.lock:
@@ -230,6 +249,11 @@ def make_handler(state: ViewerState):
                     float(q.get("azim", ["0"])[0]),
                     float(q.get("radius", ["2"])[0]),
                     q.get("mode", ["image"])[0],
+                    target=np.array([
+                        float(q.get("tx", ["0"])[0]),
+                        float(q.get("ty", ["0"])[0]),
+                        float(q.get("tz", ["0"])[0]),
+                    ], dtype=np.float32),
                 )
                 buf = io.BytesIO()
                 imageio.imwrite(buf, img, format="png")

@@ -96,18 +96,62 @@ def _backbone_from_params(unet, unet_params, vae, vae_params,
     )
 
 
+_UNET_JSON_FIELDS = (
+    "in_channels", "out_channels", "block_out_channels", "layers_per_block",
+    "cross_attention_dim", "attention_head_dim", "down_block_types",
+    "up_block_types", "use_linear_projection", "flip_sin_to_cos",
+    "freq_shift",
+)
+_VAE_JSON_FIELDS = (
+    "in_channels", "latent_channels", "block_out_channels",
+    "layers_per_block", "scaling_factor",
+)
+
+
+def _config_from_json(ckpt_dir: str, subfolder: str, default, fields):
+    """Override a config dataclass from the snapshot's ``config.json``.
+
+    Real diffusers snapshots ship one per model subfolder; honoring it
+    makes the loader robust to architecture variants AND lets the
+    weights-day rehearsal (tests/test_weights_day.py) exercise the FULL
+    checkpoint path — load -> convert -> jit -> train -> export — on a
+    tiny synthetic snapshot without any test-only code paths.
+    """
+    import json as _json
+
+    p = os.path.join(ckpt_dir, subfolder, "config.json")
+    if not os.path.exists(p):
+        return default
+    with open(p) as f:
+        raw = _json.load(f)
+    kw = {}
+    for k in fields:
+        if k in raw:
+            v = raw[k]
+            kw[k] = tuple(v) if isinstance(v, list) else v
+    return dataclasses.replace(default, **kw)
+
+
 def _build_backbone(ckpt_dir: str, unet_config: UNetConfig,
                     image_size: int, dtype=jnp.bfloat16) -> Backbone:
     """Diffusers-directory layout (unet/ + vae/ subfolders)."""
+    unet_config = _config_from_json(
+        ckpt_dir, "unet", unet_config, _UNET_JSON_FIELDS
+    )
     unet_config = dataclasses.replace(unet_config, dtype=dtype)
     unet = UNet(unet_config)
     unet_sd = load_torch_state_dict(ckpt_dir, "unet")
     unet_params = convert_unet(unet_sd, unet_config)
-    vae_cfg = VAEConfig(dtype=dtype)
+    vae_cfg = _config_from_json(
+        ckpt_dir, "vae", VAEConfig(dtype=dtype), _VAE_JSON_FIELDS
+    )
     vae = AutoencoderKL(vae_cfg)
     vae_params = convert_vae(load_torch_state_dict(ckpt_dir, "vae"), vae_cfg)
+    factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
     return _backbone_from_params(unet, unet_params, vae, vae_params,
-                                 image_size)
+                                 image_size)._replace(
+        latent_size=image_size // factor
+    )
 
 
 def _build_backbone_ldm(sd: dict, unet_config: UNetConfig,

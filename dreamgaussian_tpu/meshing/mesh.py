@@ -48,7 +48,8 @@ class Mesh:
     # ------------------------------------------------------------- loading
 
     @classmethod
-    def load(cls, path: str, resize: bool = True) -> "Mesh":
+    def load(cls, path: str, resize: bool = True,
+             front_dir: str = "+z") -> "Mesh":
         ext = os.path.splitext(path)[1].lower()
         if ext == ".obj":
             mesh = cls._load_obj(path)
@@ -62,7 +63,39 @@ class Mesh:
             mesh.auto_size()
         if mesh.vn is None:
             mesh.auto_normal()
+        if front_dir != "+z":
+            mesh._rotate_front(front_dir)
         return mesh
+
+    def _rotate_front(self, front_dir: str) -> None:
+        """Rotate so ``front_dir`` faces +z (the orbit cameras' front).
+
+        Same axis-switch + optional 90-degree-multiple spelling as the
+        reference (/root/reference/mesh.py:72-94): e.g. "+x", "-y",
+        "+z1" (front already +z, roll 90 degrees around z).
+        """
+        eye = np.eye(3, dtype=np.float32)
+        if "-z" in front_dir:
+            T = np.array([[1, 0, 0], [0, 1, 0], [0, 0, -1]], np.float32)
+        elif "+x" in front_dir:
+            T = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.float32)
+        elif "-x" in front_dir:
+            T = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+        elif "+y" in front_dir:
+            T = np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], np.float32)
+        elif "-y" in front_dir:
+            T = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+        else:
+            T = eye
+        if "1" in front_dir:
+            T = T @ np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        elif "2" in front_dir:
+            T = T @ np.array([[1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float32)
+        elif "3" in front_dir:
+            T = T @ np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1]], np.float32)
+        self.v = np.asarray(self.v, np.float32) @ T
+        if self.vn is not None:
+            self.vn = np.asarray(self.vn, np.float32) @ T
 
     @classmethod
     def _load_obj(cls, path: str) -> "Mesh":

@@ -170,7 +170,12 @@ def _row_lookup(table: jnp.ndarray, col_idx: jnp.ndarray) -> jnp.ndarray:
 
     table: [N, C] int32; col_idx: [N, M] int32 in [0, C). TPU gathers
     run on the scalar core (~140M elem/s); M passes of [N, C] VPU
-    select + lane-reduce are far cheaper for small M.
+    select + lane-reduce are far cheaper for small M — PROVIDED XLA
+    horizontally fuses the passes into one table scan (it does at the
+    production shapes; when it declines, each pass re-reads the table at
+    HBM bandwidth, so cost is O(N*C*M) traffic — large tile grids, e.g.
+    1024^2 at tile 16 where C=4097, or escalated M would pay; r5 probes
+    measured 0.126 ms/pass UNFUSED at [32k, 257]. ADVICE r4.)
     """
     c = table.shape[1]
     cid = jnp.arange(c, dtype=jnp.int32)[None, :]
@@ -262,7 +267,13 @@ def bin_gaussians(
         conic_s = conic[order].astype(jnp.float32)
         # +1e-3 margin on the threshold: the kernel evaluates the same
         # quadratic with a different fma order, so pairs within fp noise
-        # of alpha == 1/255 must stay KEPT to preserve bit-level parity.
+        # of alpha == 1/255 must stay KEPT. The margin is ABSOLUTE in q,
+        # which covers the fma-reassociation error of well-conditioned
+        # conics by orders of magnitude, but a highly anisotropic conic
+        # with strong ca*dx^2 vs 2*cb*dx*dy cancellation could in
+        # principle exceed it near the threshold — the guarantee is
+        # therefore "within one alpha ~= 1/255 contribution", not strict
+        # bit-parity in every adversarial case (ADVICE r4).
         q_budget = 2.0 * (
             log_opacity[order].astype(jnp.float32) - _math.log(1.0 / 255.0)
         ) + 1e-3

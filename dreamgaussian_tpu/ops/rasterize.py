@@ -44,34 +44,54 @@ class GaussianRender(NamedTuple):
     overflow: jnp.ndarray  # [] int32 dropped binning duplicates (0 = exact)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _composite(dup_feat, chunk_starts, n_chunks, tile_offset, grid_x,
-               num_tiles, chunk, tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _composite_cols(feat_cols, dup_map, gather_map, big_src, big_gather,
+                    chunk_starts, n_chunks, tile_offset, grid_x,
+                    num_tiles, chunk, tile):
+    """Duplicate-gather + tile compositing with a hand-paired backward.
+
+    The forward gathers per-gaussian feature COLUMNS into the aligned
+    duplicate layout and runs the Pallas forward kernel. The backward
+    runs the Pallas backward kernel — which emits per-duplicate
+    gradients as gaussian-major ROWS [K, FEAT_ROWS] — and reduces them
+    to per-gaussian gradients with a fast row-gather over the inverse
+    maps from binning. Fusing the two stages into ONE custom_vjp lets
+    the per-duplicate cotangent live in the row layout end-to-end: with
+    separate vjps the [FEAT_ROWS, K] cotangent handoff invited XLA to
+    insert a lane-padded transpose copy + 3x-slower column gather
+    (measured +3 ms at 512^2/32k) depending on layout-assignment whims.
+    XLA's native gather VJP (a sort-based scatter-add) is worse still.
+    """
+    dup_feat = jnp.take(feat_cols, dup_map, axis=1)
     return composite_forward(
         dup_feat, chunk_starts, n_chunks, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
     )
 
 
-def _composite_fwd(dup_feat, chunk_starts, n_chunks, tile_offset, grid_x,
-                   num_tiles, chunk, tile):
+def _composite_cols_fwd(feat_cols, dup_map, gather_map, big_src, big_gather,
+                        chunk_starts, n_chunks, tile_offset, grid_x,
+                        num_tiles, chunk, tile):
+    dup_feat = jnp.take(feat_cols, dup_map, axis=1)
     out = composite_forward(
         dup_feat, chunk_starts, n_chunks, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
     )
-    return out, (dup_feat, chunk_starts, n_chunks, tile_offset, out)
+    return out, (feat_cols.shape, dup_feat, gather_map, big_src, big_gather,
+                 chunk_starts, n_chunks, tile_offset, out)
 
 
-def _composite_bwd(grid_x, num_tiles, chunk, tile, residuals, g_out):
-    dup_feat, chunk_starts, n_chunks, tile_offset, out = residuals
+def _composite_cols_bwd(grid_x, num_tiles, chunk, tile, residuals, g_out):
+    (cols_shape, dup_feat, gather_map, big_src, big_gather,
+     chunk_starts, n_chunks, tile_offset, out) = residuals
     d_feat = composite_backward(
         dup_feat, chunk_starts, n_chunks, out, g_out, tile_offset,
         grid_x=grid_x, num_tiles=num_tiles, chunk=chunk, tile=tile,
-    )
+    )  # [FEAT_ROWS, K_aligned]
     # The kernel only writes slots belonging to the tiles it processed;
     # zero the rest (the aligned tail, and — under tile sharding — other
     # shards' tile ranges, whose slots map to REAL gaussians).
-    k_aligned = dup_feat.shape[1]
+    k_aligned = d_feat.shape[1]
     n_ch = (k_aligned + chunk - 1) // chunk
     ch = jnp.arange(n_ch, dtype=jnp.int32)
     covered = jnp.any(
@@ -84,39 +104,18 @@ def _composite_bwd(grid_x, num_tiles, chunk, tile, residuals, g_out):
     d_feat = jnp.where(
         jnp.repeat(covered, chunk)[None, :k_aligned], d_feat, 0.0
     )
-    zero_i = np.zeros(chunk_starts.shape, dtype=jax.dtypes.float0)
-    zero_o = np.zeros((1,), dtype=jax.dtypes.float0)
-    return d_feat, zero_i, zero_i, zero_o
 
-
-_composite.defvjp(_composite_fwd, _composite_bwd)
-
-
-@jax.custom_vjp
-def _dup_gather(feat_cols, dup_map, gather_map, big_src, big_gather):
-    """feat_cols[:, dup_map] with a gather-based backward.
-
-    XLA's VJP for a gather is a sort-based scatter-add — measurably the
-    hottest fusion in the render backward. The inverse maps from binning
-    turn it into max_tiles gathers + a sum for the base slots, plus one
-    SMALL scatter-add for the big-class extra slots."""
-    return jnp.take(feat_cols, dup_map, axis=1)
-
-
-def _dup_gather_fwd(feat_cols, dup_map, gather_map, big_src, big_gather):
-    return jnp.take(feat_cols, dup_map, axis=1), (
-        feat_cols.shape, gather_map, dup_map, big_src, big_gather,
-    )
-
-
-def _dup_gather_bwd(res, g):
-    (rows, cols), gather_map, dup_map, big_src, big_gather = res
+    rows, cols = cols_shape
     n, mt = gather_map.shape
     # Rows >= REAL_FEAT_ROWS are sublane padding (build_feature_cols):
     # their gradients are identically zero, so gather only the real rows
-    # and pad back — a 37% cut of the hottest gather.
+    # and pad back — a 37% cut of the hottest gather. One FLAT take of
+    # all n*mt indices (a per-column formulation was measured strictly
+    # worse: each take fusion costs ~0.2 ms nearly independent of index
+    # count); a gaussian-major [K, FEAT_ROWS] row-gather variant was
+    # worse still (16-wide rows lane-pad to 128 => 8x traffic).
     real = min(rows, REAL_FEAT_ROWS)
-    g_r = g[:real]
+    g_r = d_feat[:real]
     per_dup = jnp.take(
         g_r, gather_map.reshape(-1), axis=1, mode="fill", fill_value=0.0
     ).reshape(real, n, mt)
@@ -130,12 +129,14 @@ def _dup_gather_bwd(res, g):
     )
     g_cols = jnp.pad(g_cols, ((0, rows - real), (0, cols - n)))
     zero = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
-    return g_cols, zero(dup_map), zero(gather_map), zero(big_src), zero(
-        big_gather
-    )
+    zero_dup = np.zeros((k_aligned,), dtype=jax.dtypes.float0)
+    zero_i = np.zeros(chunk_starts.shape, dtype=jax.dtypes.float0)
+    zero_o = np.zeros((1,), dtype=jax.dtypes.float0)
+    return (g_cols, zero_dup, zero(gather_map), zero(big_src),
+            zero(big_gather), zero_i, zero_i, zero_o)
 
 
-_dup_gather.defvjp(_dup_gather_fwd, _dup_gather_bwd)
+_composite_cols.defvjp(_composite_cols_fwd, _composite_cols_bwd)
 
 
 def build_feature_cols(mean2d, depth, conic, color, opacity):
@@ -210,17 +211,15 @@ def rasterize_projected(
 
     feat_cols = build_feature_cols(mean2d, depth, conic, color, opacity)
 
-    dup_feat = _dup_gather(
+    out = _composite_cols(
         feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
-        bins.big_gather,
-    )
-    out = _composite(
-        dup_feat, bins.chunk_starts, bins.n_chunks,
+        bins.big_gather, bins.chunk_starts, bins.n_chunks,
         jnp.zeros((1,), jnp.int32), grid_x, num_tiles, chunk, tile,
-    )  # [T, tile*tile, OUT_CH]
+    )  # [T, OUT_CH, tile*tile] channel-planar (unpadded at the kernel
+    #    boundary — an [.., 8]-minor layout would be lane-padded 16x)
 
-    hw = out.reshape(grid_y, grid_x, tile, tile, OUT_CH)
-    hw = hw.transpose(0, 2, 1, 3, 4).reshape(height, width, OUT_CH)
+    hw = out.reshape(grid_y, grid_x, OUT_CH, tile, tile)
+    hw = hw.transpose(0, 3, 1, 4, 2).reshape(height, width, OUT_CH)
     rgb = hw[..., 0:3]
     dep = hw[..., 3]
     t_final = hw[..., 4]

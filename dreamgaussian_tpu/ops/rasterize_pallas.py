@@ -5,30 +5,36 @@ of ``diff-gaussian-rasterization`` (call surface
 /root/reference/gs_renderer.py:745-822). The design is TPU-first rather
 than a translation of the CUDA warp model:
 
-- **Pixels live on sublanes, gaussians on lanes.** Each tile is a
-  tile*tile-row vector; a chunk of ``C`` depth-sorted gaussians is a
-  [PIX, C] problem. All per-pair math is VPU-friendly broadcasting.
+- **Gaussians live on sublanes, pixels on lanes.** Each chunk of ``C``
+  depth-sorted gaussians against a tile's ``PIX`` pixels is a [C, PIX]
+  problem; all per-pair math is VPU-friendly broadcasting of per-gaussian
+  [C, 1] columns against per-pixel [1, PIX] rows. (Round 5 flipped the
+  r1-r4 pixel-sublane orientation: with pixels on LANES the outputs
+  leave the kernel as [OUT_CH, PIX] rows — a layout XLA stores unpadded.
+  The old [PIX, OUT_CH] output had an 8-wide minor dim that TPU layouts
+  pad to 128 lanes: 16x memory bloat and two ~0.2 ms relayout copies per
+  call at 512^2.)
 - **The exponent is a quadratic form in tile-local coordinates.** The
   kernel builds per-chunk the coefficients of
   ``power + log(opacity) = q0 + qx*x + qy*y + qxx*x^2 + qxy*x*y + qyy*y^2``
-  in TILE-CENTER-relative coordinates (a dozen [1,C] row ops from the raw
-  mean/conic/log-opacity features — means relative to the tile center
+  in TILE-CENTER-relative coordinates (a dozen [C, 1] column ops from the
+  raw mean/conic/log-opacity features — means relative to the tile center
   stay O(tile + 3 sigma), so the form is well-conditioned in f32) and
-  evaluates all pairs as 5 VPU broadcast-fmas of [PIX,1] monomial columns
-  against the [1,C] coefficient rows (see _chunk_alpha for why not a
-  [PIX,6]x[6,C] MXU matmul). alpha follows as one exp; the CUDA skip
+  evaluates all pairs as 5 VPU broadcast-fmas of [1, PIX] monomial rows
+  against the [C, 1] coefficient columns (see _chunk_alpha for why not a
+  [C,6]x[6,PIX] MXU matmul). alpha follows as one exp; the CUDA skip
   rules become two compares (``power > 0``  <=>  powero > log_op;
   ``alpha < 1/255``  <=>  powero < log(1/255)).
 - **Front-to-back compositing without a sequential loop.** The CUDA kernel
   walks gaussians one-by-one per pixel. Here the exclusive prefix product
-  of transmittance inside a chunk is computed as ``exp(log1p(-alpha) @
-  STRICT_UPPER)`` — a triangular matmul on the MXU. The early-stop rule
+  of transmittance inside a chunk is computed as ``exp(STRICT_LOWER @
+  log1p(-alpha))`` — a triangular matmul on the MXU. The early-stop rule
   needs NO second matmul: with the naive (non-stopping) prefix product
   t_naive — which is non-increasing, and which the triggering gaussian
   pushes below TERM_EPS for every successor — the contributor set is just
   ``alpha>0 and t_naive*(1-alpha) >= TERM_EPS`` (matches the dense oracle
   in rasterize_ref.py exactly). Color/depth accumulation is another
-  [PIX,C]x[C,4] matmul.
+  [4,C]x[C,PIX] matmul, and the running carries are [1, PIX] rows.
 - **Many tiles per grid step.** The chunk-aligned duplicate lists of
   consecutive tiles are CONTIGUOUS in the aligned array (binning lays
   tiles out back-to-back), so each grid step streams the combined chunk
@@ -36,11 +42,16 @@ than a translation of the CUDA warp model:
   the current tile by comparing the chunk index against the prefetched
   tile starts.
 - **The backward geometric gradient is one matmul.** d(powero) per pair
-  chains to the local quadratic coefficients as exactly ``P6^T @
-  d_powero`` ([6,C]), then to mean/conic/log-opacity with per-chunk row
-  math — no per-pair dx/dy products and no sublane reductions.
+  chains to the local quadratic coefficients as exactly ``d_powero @
+  P6`` ([C,6]), then to mean/conic/log-opacity with per-chunk column
+  math — no per-pair dx/dy products and no lane reductions.
   Per-duplicate gradients are written back to HBM and reduced to
   per-gaussian gradients by gather outside the kernel.
+- **Feature rows stay feature-major in HBM.** dup_feat is [FEAT_ROWS,
+  K_aligned] (K minor: unpadded, lane-aligned chunk DMAs); the kernel
+  transposes each [FEAT_ROWS, C] chunk to gaussian-major [C, FEAT_ROWS]
+  with one tiny exact identity matmul (Mosaic has no general shape
+  cast; a [16,16] identity contraction is ~free on the MXU).
 
 Feature/gradient row layout (FEAT_ROWS x K_aligned, f32):
   0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 log_opacity,
@@ -48,7 +59,7 @@ Feature/gradient row layout (FEAT_ROWS x K_aligned, f32):
 The padding/sentinel feature column must have log_opacity <= -1e10
 (=> alpha 0 without NaNs).
 
-Forward per-tile output layout ([T, PIX, OUT_CH]):
+Forward per-tile output layout ([T, OUT_CH, PIX] — channel-planar rows):
   0..2 rgb (premultiplied, no background), 3 depth, 4 T_final,
   5 n_contrib, 6..7 pad.
 """
@@ -101,6 +112,21 @@ def _dot_p(a, b):
     )
 
 
+def _transpose_mm(x, rows: int):
+    """Exact transpose of ``x`` [rows, C] -> [C, rows] via an identity
+    contraction (Mosaic supports no general vector shape cast; the MXU
+    pass with a 0/1 identity operand is bit-exact at HIGHEST precision
+    and costs ~nothing at these sizes)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    eye = (li == lj).astype(_f32)
+    return jax.lax.dot_general(
+        x, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _tile_center(tile_id, grid_x, tile):
     """Tile-center reference point (cx, cy) for local coordinates."""
     ty = tile_id // grid_x
@@ -112,7 +138,7 @@ def _tile_center(tile_id, grid_x, tile):
 def _local_monomials(tile: int):
     """P6 [PIX, 6]: (1, x, y, x^2, x*y, y^2) at tile-CENTER-relative
     pixel centers (|x|,|y| <= (tile-1)/2 keeps the form well-conditioned).
-    Used by the BACKWARD's s_l = P6^T @ d_powero contraction."""
+    Used by the BACKWARD's s_l = d_powero @ P6 contraction."""
     pix = tile * tile
     pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     half = (tile - 1) / 2.0
@@ -122,25 +148,25 @@ def _local_monomials(tile: int):
     return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=1)
 
 
-def _monomial_cols(tile: int):
-    """Per-pixel monomial COLUMNS for the forward fma evaluation:
-    (x, y, -x^2/2, -x*y, -y^2/2) as [PIX, 1], tile-center-relative.
+def _monomial_rows(tile: int):
+    """Per-pixel monomial ROWS for the forward fma evaluation:
+    (x, y, -x^2/2, -x*y, -y^2/2) as [1, PIX], tile-center-relative.
     The quadratic terms carry the -1/2 / -1 coefficient folds so the
-    evaluation is 5 broadcast-fmas against raw conic rows."""
+    evaluation is 5 broadcast-fmas against raw conic columns."""
     pix = tile * tile
-    pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     half = (tile - 1) / 2.0
     x = (pid % tile).astype(_f32) - half
     y = (pid // tile).astype(_f32) - half
     return x, y, -0.5 * x * x, -(x * y), -0.5 * y * y
 
 
-def _chunk_alpha(feat, mono, cx, cy):
-    """Per-(pixel, gaussian) alpha for one chunk.
+def _chunk_alpha(featT, mono, cx, cy):
+    """Per-(gaussian, pixel) alpha for one chunk; featT is [C, FEAT_ROWS].
 
     powero = power + log(opacity) is a quadratic form in tile-CENTER-
-    relative coordinates; evaluated as 5 VPU broadcast-fmas of [PIX,1]
-    monomial columns against [1,C] coefficient rows. (A [PIX,6]x[6,C]
+    relative coordinates; evaluated as 5 VPU broadcast-fmas of [1, PIX]
+    monomial rows against [C, 1] coefficient columns. (A [C,6]x[6,PIX]
     MXU matmul was measurably ~20x SLOWER: Mosaic pads the size-6
     contraction to a full 128-pass.) Exact f32; the CUDA skip rules
     become two compares (``power > 0`` <=> powero > log_op;
@@ -150,15 +176,15 @@ def _chunk_alpha(feat, mono, cx, cy):
     0.99 clamp applied; alpha_raw = opacity * exp(power) = exp(powero).
     """
     x, y, nxx, nxy, nyy = mono
-    mx_l = feat[0:1, :] - cx
-    my_l = feat[1:2, :] - cy
-    ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
-    log_op = feat[5:6, :]
+    mx_l = featT[:, 0:1] - cx
+    my_l = featT[:, 1:2] - cy
+    ca, cb, cc = featT[:, 2:3], featT[:, 3:4], featT[:, 4:5]
+    log_op = featT[:, 5:6]
     qx_l = ca * mx_l + cb * my_l
     qy_l = cc * my_l + cb * mx_l
     q0_l = -0.5 * (mx_l * qx_l + my_l * qy_l) + log_op
     powero = (
-        (q0_l + x * qx_l) + (y * qy_l + nxx * ca) + (nxy * cb + nyy * cc)
+        (q0_l + qx_l * x) + (qy_l * y + ca * nxx) + (cb * nxy + cc * nyy)
     )
     alpha_raw = jnp.exp(powero)
     skip = (powero > log_op) | (powero < LOG_ALPHA_SKIP)
@@ -167,12 +193,14 @@ def _chunk_alpha(feat, mono, cx, cy):
 
 
 def _tri_masks(c):
+    """Triangular masks used as the LHS of [C,C]x[C,PIX] matmuls:
+    M @ x reduces over the gaussian (sublane) axis."""
     li = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    strict_upper = (li < lj).astype(_f32)   # x @ M = exclusive prefix sum
-    incl_lower = (li >= lj).astype(_f32)    # x @ M = inclusive suffix sum
-    strict_lower = (li > lj).astype(_f32)   # x @ M = exclusive suffix sum
-    return strict_upper, incl_lower, strict_lower
+    strict_lower = (li > lj).astype(_f32)   # M @ x = exclusive prefix sum
+    incl_upper = (li <= lj).astype(_f32)    # M @ x = inclusive suffix sum
+    strict_upper = (li < lj).astype(_f32)   # M @ x = exclusive suffix sum
+    return strict_lower, incl_upper, strict_upper
 
 
 # ---------------------------------------------------------------------------
@@ -194,15 +222,15 @@ def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
     tb0 = b * bt
     cs0 = cs_ref[tb0]
     cs1 = cs_ref[tb0 + bt]
-    strict_upper, _, _ = _tri_masks(chunk)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    mono = _monomial_cols(tile)
+    strict_lower, _, _ = _tri_masks(chunk)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    mono = _monomial_rows(tile)
 
     # Empty tiles never store: initialize the whole block to the empty
-    # result (T=1, everything else 0).
+    # result (T_final=1 on channel 4, everything else 0).
     out_ref[...] = jnp.concatenate(
-        [jnp.zeros((bt, pix, 4), _f32), jnp.ones((bt, pix, 1), _f32),
-         jnp.zeros((bt, pix, OUT_CH - 5), _f32)], axis=2,
+        [jnp.zeros((bt, 4, pix), _f32), jnp.ones((bt, 1, pix), _f32),
+         jnp.zeros((bt, OUT_CH - 5, pix), _f32)], axis=1,
     )
 
     def get_dma(slot, k):
@@ -238,7 +266,7 @@ def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         cx, cy = _tile_center(cur_t + off_ref[0], grid_x, tile)
 
         get_dma(slot, k).wait()
-        feat = buf[slot]
+        featT = _transpose_mm(buf[slot], FEAT_ROWS)      # [C, FEAT_ROWS]
 
         # NOTE a chunk-granular early-termination lax.cond here (skip
         # compute once max(t_naive) < TERM_EPS — exact, the forward twin
@@ -246,43 +274,43 @@ def _fwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, out_ref, buf, sems, *,
         # 512^2/8k: Mosaic's per-chunk branch overhead exceeds the saved
         # work whenever any tile pixel stays uncovered (t=1 forever), so
         # it stays out.
-        alpha, _, _ = _chunk_alpha(feat, mono, cx, cy)
+        alpha, _, _ = _chunk_alpha(featT, mono, cx, cy)
         lg = jnp.log1p(-alpha)
-        t_g = t_naive * jnp.exp(_dot(lg, strict_upper))    # naive T before g
+        t_g = t_naive * jnp.exp(_dot(strict_lower, lg))    # naive T before g
         m = ((t_g * (1.0 - alpha) >= TERM_EPS) & (alpha > 0.0)).astype(_f32)
         w = alpha * t_g * m
 
-        cd = feat[6:10, :]                                  # [4, C] rgb+depth
-        rgb_d = rgb_d + _dot_t(w, cd)                       # [PIX, 4]
+        cd = featT[:, 6:10]                                 # [C, 4] rgb+depth
+        rgb_d = rgb_d + _dot_p(cd, w)                       # [4, PIX]
 
-        gpos = ((k - cs_ref[cur_t]) * chunk + lane + 1).astype(_f32)
+        gpos = ((k - cs_ref[cur_t]) * chunk + sub + 1).astype(_f32)
         ncontrib = jnp.maximum(
             ncontrib,
-            jnp.max(jnp.where(w > 0.0, gpos, 0.0), axis=1, keepdims=True),
+            jnp.max(jnp.where(w > 0.0, gpos, 0.0), axis=0, keepdims=True),
         )
 
         # Full-chunk prefix product = (T before the last gaussian) * its
-        # own (1-alpha) — read off t_g's last column instead of another
-        # [C,1] matmul + exp.
-        t_naive = t_g[:, chunk - 1:chunk] * (1.0 - alpha[:, chunk - 1:chunk])
+        # own (1-alpha) — read off t_g's last row instead of another
+        # [1,C] matmul + exp.
+        t_naive = t_g[chunk - 1:chunk, :] * (1.0 - alpha[chunk - 1:chunk, :])
         t_true = t_true * jnp.exp(
-            jnp.sum(lg * m, axis=1, keepdims=True)
+            jnp.sum(lg * m, axis=0, keepdims=True)
         )
 
         @pl.when(is_last)
         def _():
             out_ref[cur_t - tb0] = jnp.concatenate(
                 [rgb_d, t_true, ncontrib,
-                 jnp.zeros((pix, OUT_CH - 6), _f32)], axis=1,
+                 jnp.zeros((OUT_CH - 6, pix), _f32)], axis=0,
             )
 
         return t_naive, t_true, rgb_d, ncontrib
 
     init = (
-        jnp.ones((pix, 1), _f32),
-        jnp.ones((pix, 1), _f32),
-        jnp.zeros((pix, 4), _f32),
-        jnp.zeros((pix, 1), _f32),
+        jnp.ones((1, pix), _f32),
+        jnp.ones((1, pix), _f32),
+        jnp.zeros((4, pix), _f32),
+        jnp.zeros((1, pix), _f32),
     )
     jax.lax.fori_loop(cs0, cs1, body, init)
 
@@ -302,10 +330,10 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
     cs0 = cs_ref[tb0]
     cs1 = cs_ref[tb0 + bt]
     nk = cs1 - cs0
-    _, incl_lower, strict_lower = _tri_masks(chunk)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    _, incl_upper, strict_upper = _tri_masks(chunk)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     p6 = _local_monomials(tile)
-    mono = _monomial_cols(tile)
+    mono = _monomial_rows(tile)
 
     def get_read_dma(slot, k):
         return pltpu.make_async_copy(
@@ -337,12 +365,12 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
         cur_t = ct_ref[k]             # tile owning chunk k
         first = k == cs_ref[cur_t + 1] - 1   # first in REVERSE order
 
-        fwd = fwd_ref[cur_t - tb0]           # [PIX, OUT_CH]
+        fwd = fwd_ref[cur_t - tb0]           # [OUT_CH, PIX]
         gout = gout_ref[cur_t - tb0]
-        t_final = fwd[:, 4:5]
-        ncontrib = fwd[:, 5:6]
-        gd = gout[:, 0:4]                    # [PIX, 4] d rgb+depth
-        kt = gout[:, 4:5] * t_final          # [PIX, 1] T_N * dL/dT_N
+        t_final = fwd[4:5, :]
+        ncontrib = fwd[5:6, :]
+        gd = gout[0:4, :]                    # [4, PIX] d rgb+depth
+        kt = gout[4:5, :] * t_final          # [1, PIX] T_N * dL/dT_N
 
         t_run = jnp.where(first, t_final, t_run)
         s_run = jnp.where(first, 0.0, s_run)
@@ -350,54 +378,55 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
         cx, cy = _tile_center(cur_t + off_ref[0], grid_x, tile)
 
         get_read_dma(slot, k).wait()
-        feat = buf[slot]
+        featT = _transpose_mm(buf[slot], FEAT_ROWS)      # [C, FEAT_ROWS]
 
-        def live_chunk(feat, gd, kt, t_run, s_run):
+        def live_chunk(featT, gd, kt, t_run, s_run):
             alpha, alpha_raw, (mx_l, my_l, qx_l, qy_l) = _chunk_alpha(
-                feat, mono, cx, cy
+                featT, mono, cx, cy
             )
-            gpos = ((k - cs_ref[cur_t]) * chunk + lane).astype(_f32)
+            gpos = ((k - cs_ref[cur_t]) * chunk + sub).astype(_f32)
             m = ((gpos < ncontrib) & (alpha > 0.0)).astype(_f32)  # contribs
             am = alpha * m
-            r = -jnp.log1p(-am)                                # [PIX, C]
-            t_g = t_run * jnp.exp(_dot(r, incl_lower))         # T before g
+            r = -jnp.log1p(-am)                                # [C, PIX]
+            t_g = t_run * jnp.exp(_dot(incl_upper, r))         # T before g
             w = am * t_g
 
-            cd = feat[6:10, :]                                 # [4, C]
-            e = _dot(gd, cd)                                   # [PIX, C]
+            cd = featT[:, 6:10]                                # [C, 4]
+            e = _dot(cd, gd)                                   # [C, PIX]
             u = w * e
-            s_g = s_run + _dot(u, strict_lower)                # strict suffix
+            s_g = s_run + _dot(strict_upper, u)                # strict suffix
             inv_1m = 1.0 / (1.0 - am)
             d_alpha = m * (e * t_g - (s_g + kt) * inv_1m)
-            d_powero = alpha_raw * d_alpha                     # [PIX, C]
+            d_powero = alpha_raw * d_alpha                     # [C, PIX]
 
-            # d w.r.t. the LOCAL quadratic coefficients is exactly P6^T @
-            # d_powero ([6,C] matmul); chain to mean/conic/log-opacity with
-            # per-chunk [1,C] row math (the analytic partials of _local_q).
-            s_l = _dot_p(p6, d_powero)                         # [6, C]
-            s0, s1, s2 = s_l[0:1], s_l[1:2], s_l[2:3]
-            s3, s4, s5 = s_l[3:4], s_l[4:5], s_l[5:6]
-            ca, cb, cc = feat[2:3, :], feat[3:4, :], feat[4:5, :]
+            # d w.r.t. the LOCAL quadratic coefficients is exactly
+            # d_powero @ P6 ([C,6] matmul); chain to mean/conic/log-
+            # opacity with per-chunk [C,1] column math (the analytic
+            # partials of the local quadratic).
+            s_l = _dot(d_powero, p6)                           # [C, 6]
+            s0, s1, s2 = s_l[:, 0:1], s_l[:, 1:2], s_l[:, 2:3]
+            s3, s4, s5 = s_l[:, 3:4], s_l[:, 4:5], s_l[:, 5:6]
+            ca, cb, cc = featT[:, 2:3], featT[:, 3:4], featT[:, 4:5]
             d_mx = -qx_l * s0 + ca * s1 + cb * s2
             d_my = -qy_l * s0 + cb * s1 + cc * s2
             d_ca = -0.5 * mx_l * mx_l * s0 + mx_l * s1 - 0.5 * s3
             d_cb = -mx_l * my_l * s0 + my_l * s1 + mx_l * s2 - s4
             d_cc = -0.5 * my_l * my_l * s0 + my_l * s2 - 0.5 * s5
-            d_cd = _dot_p(gd, w)                               # [4, C]
-            dfeat = jnp.concatenate(
+            d_cd = _dot_t(w, gd)                               # [C, 4]
+            dfeatT = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, s0, d_cd,
-                 jnp.zeros((FEAT_ROWS - 10, chunk), _f32)],
-                axis=0,
+                 jnp.zeros((chunk, FEAT_ROWS - 10), _f32)],
+                axis=1,
             )
-            # Full-chunk carries read off existing matmul columns instead
-            # of two more [C,1] matmuls: t_g[:,0] already holds
-            # t_run * exp(sum r); s_g[:,0] + u[:,0] = s_run + sum u.
-            t_run_n = t_g[:, 0:1]
-            s_run_n = s_g[:, 0:1] + u[:, 0:1]
-            return dfeat, t_run_n, s_run_n
+            # Full-chunk carries read off existing matmul rows instead
+            # of two more [1,C] matmuls: t_g[0] already holds
+            # t_run * exp(sum r); s_g[0] + u[0] = s_run + sum u.
+            t_run_n = t_g[0:1, :]
+            s_run_n = s_g[0:1, :] + u[0:1, :]
+            return dfeatT, t_run_n, s_run_n
 
-        def dead_chunk(feat, gd, kt, t_run, s_run):
-            return jnp.zeros((FEAT_ROWS, chunk), _f32), t_run, s_run
+        def dead_chunk(featT, gd, kt, t_run, s_run):
+            return jnp.zeros((chunk, FEAT_ROWS), _f32), t_run, s_run
 
         # Chunk-granular early termination (CUDA-style): a chunk whose
         # smallest gaussian position is at or past every pixel's last
@@ -405,14 +434,14 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
         # unchanged running products (r == 0, u == 0). The zero dfeat is
         # still written (dfeat_hbm is uninitialized).
         if skip_dead:
-            dfeat, t_run, s_run = jax.lax.cond(
+            dfeatT, t_run, s_run = jax.lax.cond(
                 (k - cs_ref[cur_t]).astype(_f32) * chunk < jnp.max(ncontrib),
                 live_chunk,
                 dead_chunk,
-                feat, gd, kt, t_run, s_run,
+                featT, gd, kt, t_run, s_run,
             )
         else:
-            dfeat, t_run, s_run = live_chunk(feat, gd, kt, t_run, s_run)
+            dfeatT, t_run, s_run = live_chunk(featT, gd, kt, t_run, s_run)
 
         wslot = jax.lax.rem(i, 2)
 
@@ -420,12 +449,18 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
         def _():
             get_write_dma(wslot, k + 2).wait()
 
-        dbuf[wslot] = dfeat
+        # Back to feature-major [FEAT_ROWS, C] for the HBM write: a
+        # gaussian-major [K, FEAT_ROWS] output (which would make the
+        # per-gaussian reduce a row-gather and skip this transpose) was
+        # measured a net LOSS — the 16-wide rows lane-pad to 128, so
+        # every downstream read of dfeat carries 8x traffic (+8 ms at
+        # 512^2/32k).
+        dbuf[wslot] = _transpose_mm(dfeatT, chunk)
         get_write_dma(wslot, k).start()
 
         return t_run, s_run
 
-    init = (jnp.ones((pix, 1), _f32), jnp.zeros((pix, 1), _f32))
+    init = (jnp.ones((1, pix), _f32), jnp.zeros((1, pix), _f32))
     jax.lax.fori_loop(0, nk, body, init)
 
     # Drain outstanding writes.
@@ -444,7 +479,7 @@ def _bwd_kernel(cs_ref, ct_ref, off_ref, feat_hbm, fwd_ref, gout_ref,
 
 
 # The Mosaic scoped-vmem default (16 MB) is tight for the backward
-# kernel's vector stack (~15 [PIX,C] f32 temporaries at bt=8); raise it —
+# kernel's vector stack (~15 [C,PIX] f32 temporaries at bt=8); raise it —
 # v5e has far more physical VMEM than the conservative default.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
@@ -480,7 +515,12 @@ def _chunk_tiles(chunk_starts, n_chunks, k_aligned, chunk):
     cap_chunks = k_aligned // chunk
     ends = chunk_starts + n_chunks                  # [T] cumulative ends
     c = jnp.arange(cap_chunks, dtype=jnp.int32)
-    return jnp.searchsorted(ends, c, side="right").astype(jnp.int32)
+    # tile(c) = #{t : ends[t] <= c} — a dense compare+reduce (~0.3M VPU
+    # ops) instead of jnp.searchsorted, whose scalar while-loop lowering
+    # cost 0.17 ms/call at 512^2 (ends is sorted, both are exact).
+    return jnp.sum(
+        (ends[None, :] <= c[:, None]).astype(jnp.int32), axis=1
+    )
 
 
 @functools.partial(
@@ -491,7 +531,7 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
     """Run the forward tile kernel.
 
     dup_feat: [FEAT_ROWS, K_aligned] chunk-aligned duplicated quadratic
-    features. Returns [num_tiles, tile*tile, OUT_CH].
+    features. Returns [num_tiles, OUT_CH, tile*tile] (channel-planar).
     """
     pix = tile * tile
     if tile_offset is None:
@@ -506,7 +546,7 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
+            (bt, OUT_CH, pix), lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -517,7 +557,7 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * bt, pix, OUT_CH), _f32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * bt, OUT_CH, pix), _f32),
         interpret=_use_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(cs_ext, ct, tile_offset, dup_feat)
@@ -532,7 +572,11 @@ def composite_forward(dup_feat, chunk_starts, n_chunks, tile_offset=None,
 def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
                        tile_offset=None, *, grid_x, num_tiles, chunk,
                        tile=TILE, bt=BT, skip_dead=True):
-    """Run the backward tile kernel -> per-duplicate feature gradients."""
+    """Run the backward tile kernel -> per-duplicate feature gradients
+    [FEAT_ROWS, K_aligned].
+
+    fwd_out / g_out use composite_forward's [T, OUT_CH, PIX] layout.
+    """
     pix = tile * tile
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
@@ -551,9 +595,9 @@ def composite_backward(dup_feat, chunk_starts, n_chunks, fwd_out, g_out,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((bt, OUT_CH, pix), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, pix, OUT_CH), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((bt, OUT_CH, pix), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

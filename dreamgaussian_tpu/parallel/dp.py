@@ -15,10 +15,19 @@ Division of labor vs the reference semantics:
 
 - known-view loss: computed on every device, divided by the device count,
   so the psum reproduces the single-device gradient exactly;
-- densification stats: accumulated from ALL novel views (psum over the
-  mesh) instead of only the last one — strictly more signal than the
-  reference's last-view quirk, and the natural formulation once views are
-  sharded.
+- densification stats: from the GLOBALLY-LAST novel view only — the
+  mean2d gradient tap and the radii are masked to view
+  ``views_per_device-1`` of the last ``data``-axis device, exactly
+  reproducing the reference's last-view quirk
+  (/root/reference/main.py:279-281 reads the grad of the LAST render's
+  screenspace points; gs_renderer.py:625-627) and the single-device
+  trainer (train/stage1.py taps only ``b == n_novel-1``). An
+  all-views psum variant ("strictly more signal") was used through r4,
+  but it made DP densify decisions diverge from single-device ones, so
+  the bitwise DP==single-device parity test had to disable densify
+  (VERDICT r4 next-#6); matching the quirk keeps the mesh trainers
+  bit-identical to the reference-faithful path with density control
+  active.
 """
 
 from __future__ import annotations
@@ -112,17 +121,27 @@ def _make_step_body(
                 + 1000.0 * w * jnp.mean((out.alpha - ref_mask) ** 2)
             )
             loss += known / n_dev
+        # Densify stats come from the GLOBALLY-LAST view only (the
+        # reference's last-view quirk — module docstring): the tap is
+        # zero-masked off every device but the last, and only the last
+        # local view renders with it; radii likewise.
+        last_dev = (
+            jax.lax.axis_index("data") == n_dev - 1
+        )
         images = []
-        radii_sum = jnp.zeros((params["xyz"].shape[0],), jnp.int32)
+        radii_last = jnp.zeros((params["xyz"].shape[0],), jnp.int32)
         overflow = jnp.int32(0)
         for b in range(views_per_device):
             cam_b = {k: v[b] for k, v in novel_cams.items()}
+            is_g_last = b == views_per_device - 1
+            t = (tap * last_dev.astype(tap.dtype)) if is_g_last else None
             out = render_one(
                 params, cam_b, bg, novel_size, novel_size, sh_degree, alive,
-                tap=tap,
+                tap=t,
             )
             images.append(out.image)
-            radii_sum = jnp.maximum(radii_sum, out.radii)
+            if is_g_last:
+                radii_last = jnp.where(last_dev, out.radii, 0)
             overflow = overflow + out.overflow
         images = jnp.stack(images)
         # Guidance contract: fn returns the MEAN loss over the views given.
@@ -136,7 +155,7 @@ def _make_step_body(
             else:
                 g = entry[1](images, cond, step_ratio, key)
             loss += entry[0] * g / n_dev
-        return loss, (radii_sum, overflow)
+        return loss, (radii_last, overflow)
 
     def step_body(params, adam, aux, step, known_cams, novel_cams, bg,
                   ref_rgb, ref_mask, key, cond, accum, gparams):

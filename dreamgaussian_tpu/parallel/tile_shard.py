@@ -31,8 +31,7 @@ from ..ops.binning import TILE, bin_gaussians
 from ..ops.project import project_gaussians
 from ..ops.rasterize import (
     GaussianRender,
-    _composite,
-    _dup_gather,
+    _composite_cols,
     build_feature_cols,
 )
 from ..ops.rasterize_pallas import OUT_CH
@@ -78,10 +77,6 @@ def rasterize_projected_tile_sharded(
     )
 
     feat_cols = build_feature_cols(mean2d, depth, conic, color, opacity)
-    dup_feat = _dup_gather(
-        feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
-        bins.big_gather,
-    )
 
     # This device's slab of tiles.
     shard = jax.lax.axis_index(axis_name)
@@ -89,20 +84,20 @@ def rasterize_projected_tile_sharded(
     local_starts = jax.lax.dynamic_slice(bins.chunk_starts, (t0,), (tiles_per,))
     local_nchunks = jax.lax.dynamic_slice(bins.n_chunks, (t0,), (tiles_per,))
 
-    local_out = _composite(
-        dup_feat, local_starts, local_nchunks,
+    local_out = _composite_cols(
+        feat_cols, bins.dup_map, bins.gather_map, bins.big_src,
+        bins.big_gather, local_starts, local_nchunks,
         jnp.asarray([t0], jnp.int32), grid_x, tiles_per, chunk, tile,
-    )  # [tiles_per, pix, OUT_CH]
+    )  # [tiles_per, OUT_CH, pix] channel-planar
 
     # Gather slabs -> full tile array. all_gather is differentiable (its
     # transpose slices the cotangent back to this shard); the per-gaussian
     # gradient psum happens via the dup_feat gather-VJP + shard_map's
     # replicated-input rule.
-    out = jax.lax.all_gather(local_out, axis_name)  # [S, tiles_per, pix, C]
-    out = out.reshape(num_tiles, tile * tile, OUT_CH)
-
-    hw = out.reshape(grid_y, grid_x, tile, tile, OUT_CH)
-    hw = hw.transpose(0, 2, 1, 3, 4).reshape(height, width, OUT_CH)
+    out = jax.lax.all_gather(local_out, axis_name)  # [S, tiles_per, C, pix]
+    out = out.reshape(num_tiles, OUT_CH, tile * tile)
+    hw = out.reshape(grid_y, grid_x, OUT_CH, tile, tile)
+    hw = hw.transpose(0, 3, 1, 4, 2).reshape(height, width, OUT_CH)
     rgb = hw[..., 0:3]
     dep = hw[..., 3]
     t_final = hw[..., 4]

@@ -18,8 +18,10 @@ TPU-first differences:
   the albedo before background blending, exactly like the reference, and
   composes with the SSAA jitter the training loop applies
   (/root/reference/main2.py:182,213);
-- SSAA factors are quantized (0.5 / 1 / 2) so renders stay within three
-  compiled shapes instead of recompiling per step.
+- SSAA factors are quantized (stage 2 samples train/stage2.py
+  SSAA_CHOICES = 0.25 / 0.75 / 1.25 / 1.75, matching the reference's
+  uniform[0.125, 2] draw's pixel-count distribution) so renders stay
+  within a few compiled shapes instead of recompiling per step.
 """
 
 from __future__ import annotations

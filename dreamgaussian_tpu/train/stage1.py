@@ -847,9 +847,10 @@ class Stage1Trainer:
                 if (checkpoint_every and checkpoint_dir
                         and self.step % checkpoint_every == 0):
                     self.save_checkpoint(checkpoint_dir)
-            self.params, self.adam, self.aux = self._prune_final(
-                self.params, self.adam, self.aux
-            )
+            if self.opt.get("final_prune", True):
+                self.params, self.adam, self.aux = self._prune_final(
+                    self.params, self.adam, self.aux
+                )
             loss = float(loss)
             wall = time.perf_counter() - t0
             return {"loss": loss, "wall_s": wall,
@@ -865,10 +866,14 @@ class Stage1Trainer:
             if (checkpoint_every and checkpoint_dir
                     and self.step % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_dir)
-        # Final prune (reference main.py train() tail).
-        self.params, self.adam, self.aux = self._prune_final(
-            self.params, self.adam, self.aux
-        )
+        # Final prune (reference main.py train() tail). final_prune=False
+        # skips it: short runs (few steps at low resolution) can lose
+        # EVERY gaussian to the reference-faithful live-stats prune
+        # before any signal accumulates.
+        if self.opt.get("final_prune", True):
+            self.params, self.adam, self.aux = self._prune_final(
+                self.params, self.adam, self.aux
+            )
         loss = float(loss)  # final sync
         wall = time.perf_counter() - t0
         return {"loss": loss, "wall_s": wall, "alive": int(num_alive(self.aux))}

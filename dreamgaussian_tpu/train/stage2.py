@@ -58,6 +58,7 @@ class Stage2Trainer:
         refine_fns: tuple = (),
         cond: dict | None = None,
         seed: int = 0,
+        refine_image_size: int | None = None,
     ):
         self.opt = opt
         self.rng = np.random.default_rng(seed)
@@ -67,6 +68,7 @@ class Stage2Trainer:
         self.state = MeshRendererState.from_mesh(mesh)
         self.train_geo = bool(opt.get("train_geo", False))
         self.refine_fns = refine_fns
+        self.refine_image_size = refine_image_size
         self.cond = cond or {}
 
         self.params = self.state.trainable(self.train_geo)
@@ -170,18 +172,22 @@ class Stage2Trainer:
         return jnp.asarray(w2c.T)
 
     def _get_grad_step(self, n_novel: int, ssaa_known: float, ssaa_novel: float):
-        """ONE jitted program for the WHOLE iteration: known-view loss,
-        novel renders, diffusion refine of the (stop-gradient) renders,
-        per-fn MSE against the refined targets, backward, Adam update.
+        """ONE jitted program for the grad step: known-view loss, novel
+        renders, per-fn MSE against the (separately rendered + refined)
+        targets, backward, Adam update.
 
         A split pipeline (fwd render dispatch -> refine dispatch -> eager
         resize/stack -> grad dispatch) measured 391 ms/iter on the
         tunneled TPU where the device work is ~150 ms — per-call
-        round-trips dominate. Rendering ONCE and refining its
-        stop_gradient inside the grad program is mathematically identical
-        to the reference's render/detach/refine/render-again structure
-        (/root/reference/main2.py:166-283: both MSE a live render against
-        a no-grad refined copy of the SAME render)."""
+        round-trips dominate. SEMANTIC DEVIATION from the reference
+        (/root/reference/main2.py:240-258): the refine TARGET comes from
+        a second render of the same params at the resolution-exact
+        target SSAA (see train_step), not from the stop-gradient of the
+        jittered grad render — so target and grad-render pixels differ
+        by their supersampling filter. Both are downsampled to the
+        guidance image_size before refine; quality-neutrality of the
+        deviation is pinned by tests/test_stage2.py::
+        TestTargetSSAAQuality."""
         # NOTE a fully-fused single-dispatch variant (refine traced INTO
         # this grad program under stop_gradient) measured the refine
         # subgraph at ~300 ms vs its ~60 ms standalone cost — XLA
@@ -345,14 +351,35 @@ class Stage2Trainer:
         )
 
         # The TARGET render's only consumer is the refine input, which
-        # every guidance downsamples to its 256^2 image_size before the
-        # VAE — rendering it at the jittered SSAA wastes up to 12x the
-        # pixels for an image about to be shrunk. A fixed 0.5 SSAA
-        # (256^2 internal at the 512 default) is resolution-exact for
-        # the refine input and collapses the 4 jitter-compiled target
-        # programs into one. The GRAD render keeps the jitter (it
-        # shapes silhouette gradients, /root/reference/main2.py:213).
-        ssaa_tgt = self.opt.get("target_render_ssaa", 0.5)
+        # each guidance resizes to its image_size before the VAE
+        # (256^2 for zero123/MVDream/ImageDream, 512^2 for SD) —
+        # rendering it at the jittered SSAA wastes up to 12x the pixels
+        # for an image about to be shrunk. Rendering at exactly
+        # max(image_size)/render_resolution is resolution-exact for the
+        # refine input (no detail lost for ANY enabled guidance,
+        # including SD's 512^2 input — ADVICE r4) and collapses the 4
+        # jitter-compiled target programs into one. The GRAD render
+        # keeps the jitter (it shapes silhouette gradients,
+        # /root/reference/main2.py:213). This deviates from the
+        # reference, which renders the refine input at the same
+        # jittered SSAA as the grad render; quality-neutrality is
+        # pinned by tests/test_stage2.py::TestTargetSSAAQuality.
+        if self.opt.get("target_render_jitter", False):
+            # Reference-faithful mode: the target renders at the SAME
+            # jittered SSAA as the grad render (same pixels, since both
+            # render the same params/cameras). Used by the quality-
+            # neutrality test; costs up to 12x the target pixels and 4x
+            # the compiled target programs.
+            ssaa_tgt = ssaa_novel
+        else:
+            ssaa_tgt = self.opt.get("target_render_ssaa", None)
+        if ssaa_tgt is None:
+            if self.refine_image_size is not None:
+                ssaa_tgt = min(
+                    1.0, self.refine_image_size / self.render_resolution
+                )
+            else:
+                ssaa_tgt = 0.5
         phase_timing = self.opt.get("phase_timing", False)
         if phase_timing:
             t0 = time.perf_counter()

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dreamgaussian_tpu.ops import binning as B
 from dreamgaussian_tpu.ops.project import project_gaussians
-from dreamgaussian_tpu.ops.rasterize import build_feature_cols, _dup_gather
+from dreamgaussian_tpu.ops.rasterize import build_feature_cols
 from dreamgaussian_tpu.ops.rasterize_pallas import (
     FEAT_ROWS, OUT_CH, TERM_EPS, _chunk_alpha, _monomial_cols, _tile_center,
     _tri_masks, _dot, _dot_t, _blocks, _extend_starts, _chunk_tiles,
@@ -166,6 +166,24 @@ def sup_forward(dup_feat, chunk_starts, n_chunks, *, grid_x, num_tiles,
         compiler_params=_COMPILER_PARAMS,
     )(cs_ext, meta, off, dup_feat)
     return out[:num_tiles]
+
+
+
+# --- r5 compat: the package merged _dup_gather + _composite into one
+# custom_vjp (_composite_cols). These standalone stage harnesses keep the
+# old split via forward-only equivalents (gradients through this shim use
+# XLA's default gather VJP, fine for stage timing).
+import jax.numpy as _jnp
+from dreamgaussian_tpu.ops.rasterize_pallas import composite_forward as _cf
+
+
+def _dup_gather(feat_cols, dup_map, gather_map, big_src, big_gather):
+    return _jnp.take(feat_cols, dup_map, axis=1)
+
+
+def _composite(dup_feat, cs, nc, off, grid_x, num_tiles, chunk, tile):
+    return _cf(dup_feat, cs, nc, off, grid_x=grid_x, num_tiles=num_tiles,
+               chunk=chunk, tile=tile)
 
 
 def main():

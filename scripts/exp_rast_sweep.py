@@ -10,6 +10,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+# --- r5 compat: the package merged _dup_gather + _composite into one
+# custom_vjp (_composite_cols). These standalone stage harnesses keep the
+# old split via forward-only equivalents (gradients through this shim use
+# XLA's default gather VJP, fine for stage timing).
+import jax.numpy as _jnp
+from dreamgaussian_tpu.ops.rasterize_pallas import composite_forward as _cf
+
+
+def _dup_gather(feat_cols, dup_map, gather_map, big_src, big_gather):
+    return _jnp.take(feat_cols, dup_map, axis=1)
+
+
+def _composite(dup_feat, cs, nc, off, grid_x, num_tiles, chunk, tile):
+    return _cf(dup_feat, cs, nc, off, grid_x=grid_x, num_tiles=num_tiles,
+               chunk=chunk, tile=tile)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -17,7 +35,7 @@ def main():
     from dreamgaussian_tpu.ops import binning as B
     from dreamgaussian_tpu.ops.project import project_gaussians
     from dreamgaussian_tpu.ops.rasterize import (
-        _composite, _dup_gather, build_feature_cols,
+        build_feature_cols,
     )
     from dreamgaussian_tpu.utils.camera import Camera, orbit_camera
 

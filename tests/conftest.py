@@ -52,6 +52,7 @@ _SLOW_PATTERNS = (
     "test_stage1.py::TestParamPassingGuidance",
     "test_stage1.py::TestScanTraining",
     "test_stage2.py::TestMeshRenderer::test_ssaa_changes_nothing_much",
+    "test_stage2.py::TestTargetSSAAQuality",
     "test_stage2.py::TestParamPassingRefine",
     "test_stage2.py::TestStage2Training",
     "test_stage2.py::TestExportPipeline",
@@ -65,6 +66,7 @@ _SLOW_PATTERNS = (
     "test_mesh_raster.py::TestMipmap::test_render_mesh_mipmap_end_to_end",
     "test_mesh_raster.py::TestAntialias",
     "test_checkpoint_render.py",
+    "test_weights_day.py",         # full real-checkpoint path rehearsal
     "test_meshing.py::TestDecimate",
     "test_meshing.py::TestRemesh",
     "test_u2net.py::TestU2NetTraining",

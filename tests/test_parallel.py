@@ -136,10 +136,15 @@ class TestMeshTrainer:
 
     def test_matches_single_device_params(self, mesh):
         """DP-scan trainer == single-device-scan trainer after 6 steps
-        (same seed => same cameras/keys; densify disabled so the
-        all-views-vs-last-view stats deviation can't bite)."""
-        tr_dp = self._mk(mesh)
-        tr_sd = self._mk(None)
+        WITH density control active (same seed => same cameras/keys).
+        DP's densify stats are masked to the globally-last view exactly
+        like single-device (the reference's last-view quirk), so the
+        decisions match and this no longer needs densify disabled
+        (VERDICT r4 next-#6)."""
+        kw = dict(density_start_iter=1, density_end_iter=10,
+                  densification_interval=3, opacity_reset_interval=5)
+        tr_dp = self._mk(mesh, **kw)
+        tr_sd = self._mk(None, **kw)
         l_dp = tr_dp.train_segment(6, 12)
         l_sd = tr_sd.train_segment(6, 12)
         np.testing.assert_allclose(
@@ -148,6 +153,9 @@ class TestMeshTrainer:
         np.testing.assert_allclose(
             np.asarray(tr_dp.params["xyz"]), np.asarray(tr_sd.params["xyz"]),
             atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_dp.aux.alive), np.asarray(tr_sd.aux.alive)
         )
 
     def test_densify_inside_mesh_scan(self, mesh):

@@ -355,21 +355,18 @@ class TestEllipseCull:
             )
             bins = self._bins(proj, w, h, with_cull)
             from dreamgaussian_tpu.ops.rasterize import (
-                _composite, _dup_gather, build_feature_cols,
+                _composite_cols, build_feature_cols,
             )
             feat = build_feature_cols(
                 proj.mean2d, proj.depth, proj.conic, proj.color, proj.opacity
             )
-            dup_feat = _dup_gather(
+            out = _composite_cols(
                 feat, bins.dup_map, bins.gather_map, bins.big_src,
-                bins.big_gather,
-            )
-            out = _composite(
-                dup_feat, bins.chunk_starts, bins.n_chunks,
+                bins.big_gather, bins.chunk_starts, bins.n_chunks,
                 jnp.zeros((1,), jnp.int32), w // 16, (w // 16) * (h // 16),
                 128, 16,
             )
-            return jnp.sum(out[..., :5] ** 2)
+            return jnp.sum(out[:, :5, :] ** 2)
 
         g0 = jax.grad(lambda s: loss(s, False))(scene)
         g1 = jax.grad(lambda s: loss(s, True))(scene)

@@ -448,18 +448,30 @@ def main() -> None:
             )
             if stable_runs >= 2:
                 break
+        # Min over attempts: the tunneled backend intermittently retries
+        # faulted dispatches transparently (~1.4 s/dispatch penalty,
+        # observed 2026-08-20 affecting r4 and r5 binaries alike), which
+        # would otherwise masquerade as a 50-100x per-iter cost. A clean
+        # attempt's time is the true steady state; keep trying until two
+        # attempts agree within 30% or attempts run out.
         dt = None
-        for _retry in range(3):
+        clean = []
+        for _retry in range(6):
             tr.step = rung_start
             t0 = time.perf_counter()
             tr.train_segment(K, 500)
             jax.block_until_ready(tr.params["xyz"])
-            dt = time.perf_counter() - t0
+            d = time.perf_counter() - t0
             ov = int(np.max(np.asarray(tr.overflow)))
             overflow_in_measured[size] = ov
             tr._check_overflow()  # escalates (and retraces) when ov > 0
             if ov == 0:
-                break
+                clean.append(d)
+                if len(clean) >= 2 and (
+                    sorted(clean)[1] <= 1.3 * sorted(clean)[0]
+                ):
+                    break
+        dt = min(clean) if clean else d
         # The measured region must be EXACT rendering — a nonzero value
         # here means escalation never stabilized (VERDICT r2 weak #6).
         assert overflow_in_measured[size] == 0, (

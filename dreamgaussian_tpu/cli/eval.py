@@ -32,22 +32,27 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def clip_similarity(ckpt_dir: str, image: np.ndarray,
                     views: list[np.ndarray]) -> float:
+    """Mean cosine similarity between the input image's and each view's
+    CLIP embedding. Torch CLIP on the host (the installed transformers
+    ships no Flax CLIP classes); the metric model is tiny next to the
+    renders."""
     import jax
     import jax.numpy as jnp
-
-    from transformers import FlaxCLIPVisionModelWithProjection
+    import torch
+    from transformers import CLIPVisionModelWithProjection
 
     from ..guidance.loader import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
-    enc = FlaxCLIPVisionModelWithProjection.from_pretrained(
-        ckpt_dir, from_pt=True
-    )
+    enc = CLIPVisionModelWithProjection.from_pretrained(ckpt_dir)
+    size = getattr(enc.config, "image_size", 224)
 
     def embed(img):
-        x = jax.image.resize(jnp.asarray(img), (224, 224, 3), "bilinear")
+        x = jax.image.resize(jnp.asarray(img), (size, size, 3), "bilinear")
         x = (np.asarray(x) - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
-        e = enc(pixel_values=x.transpose(2, 0, 1)[None]).image_embeds[0]
-        e = np.asarray(e)
+        with torch.no_grad():
+            e = enc(pixel_values=torch.from_numpy(
+                x.transpose(2, 0, 1)[None]
+            )).image_embeds[0].numpy()
         return e / (np.linalg.norm(e) + 1e-8)
 
     ref = embed(image)

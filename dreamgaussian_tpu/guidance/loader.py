@@ -172,18 +172,21 @@ def _build_backbone_ldm(sd: dict, unet_config: UNetConfig,
 
 
 def _encode_text(ckpt_dir: str, prompts: list[str]) -> np.ndarray:
-    """CLIP text embeddings [N, 77, D] via transformers Flax."""
-    from transformers import CLIPTokenizer, FlaxCLIPTextModel
+    """CLIP text embeddings [N, 77, D]. Torch on the host — the
+    installed transformers ships no Flax classes, and this is a one-time
+    conditioning encode."""
+    import torch
+    from transformers import CLIPTextModel, CLIPTokenizer
 
     tok = CLIPTokenizer.from_pretrained(os.path.join(ckpt_dir, "tokenizer"))
-    enc = FlaxCLIPTextModel.from_pretrained(
-        os.path.join(ckpt_dir, "text_encoder"), from_pt=True
-    )
+    enc = CLIPTextModel.from_pretrained(os.path.join(ckpt_dir, "text_encoder"))
     inputs = tok(
         prompts, padding="max_length", max_length=tok.model_max_length,
-        truncation=True, return_tensors="np",
+        truncation=True, return_tensors="pt",
     )
-    return np.asarray(enc(input_ids=inputs.input_ids)[0])
+    with torch.no_grad():
+        out = enc(input_ids=inputs.input_ids)[0]
+    return out.numpy()
 
 
 def _tokenize_open_clip(tokenizer_dir: str, prompts: list[str],
@@ -373,26 +376,41 @@ def _clip_pixel_values(image: np.ndarray, size: int = 224) -> np.ndarray:
 def _clip_image_embed(ckpt_dir: str, image: np.ndarray) -> np.ndarray:
     """CLIP vision projection embedding [1, 768] of an RGB [H,W,3] image
     in [0, 1] (the zero123 conditioning image encoder,
-    /root/reference/guidance/zero123_utils.py:56-64)."""
-    from transformers import FlaxCLIPVisionModelWithProjection
+    /root/reference/guidance/zero123_utils.py:56-64).
 
-    enc = FlaxCLIPVisionModelWithProjection.from_pretrained(
-        os.path.join(ckpt_dir, "image_encoder"), from_pt=True
+    Runs the TORCH CLIP tower on the host — the installed transformers
+    ships no Flax CLIP classes (caught by tests/test_weights_day.py),
+    and this is a one-time conditioning embed, not a hot path.
+    """
+    import torch
+    from transformers import CLIPVisionModelWithProjection
+
+    enc = CLIPVisionModelWithProjection.from_pretrained(
+        os.path.join(ckpt_dir, "image_encoder")
     )
-    out = enc(pixel_values=_clip_pixel_values(image))
-    return np.asarray(out.image_embeds)
+    size = getattr(enc.config, "image_size", 224)
+    with torch.no_grad():
+        out = enc(pixel_values=torch.from_numpy(
+            _clip_pixel_values(image, size)
+        ))
+    return out.image_embeds.numpy()
 
 
 def _clip_image_tokens(encoder_dir: str, image: np.ndarray) -> np.ndarray:
     """CLIP vision TOKEN sequence [257, 1280] (cls + patches) of an RGB
     [H,W,3] image in [0,1] — ImageDream's ip conditioning
-    (get_learned_image_conditioning, consumed by the UNet's resampler)."""
-    from transformers import FlaxCLIPVisionModel
+    (get_learned_image_conditioning, consumed by the UNet's resampler).
+    Torch on host (see _clip_image_embed)."""
+    import torch
+    from transformers import CLIPVisionModel
 
-    enc = FlaxCLIPVisionModel.from_pretrained(encoder_dir, from_pt=True)
+    enc = CLIPVisionModel.from_pretrained(encoder_dir)
     size = getattr(enc.config, "image_size", 224)
-    out = enc(pixel_values=_clip_pixel_values(image, size))
-    return np.asarray(out.last_hidden_state[0])
+    with torch.no_grad():
+        out = enc(pixel_values=torch.from_numpy(
+            _clip_pixel_values(image, size)
+        ))
+    return out.last_hidden_state[0].numpy()
 
 
 def load_zero123(

@@ -156,6 +156,12 @@ def extract_occupancy_field(
     inv6, ok = _inv_cov_features(cov)
     opa = jnp.where(ok, opa, 0.0)
 
+    # The slab evaluation tiles the z axis; clamp block to a divisor of
+    # the resolution (e.g. mc_resolution=24 with the default block=16
+    # previously produced a malformed [R,R,R] reshape).
+    block = min(block, resolution)
+    while resolution % block:
+        block -= 1
     occ = _field_on_grid(mu, inv6, opa, resolution, block)
     return (
         np.asarray(occ),

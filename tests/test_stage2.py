@@ -160,14 +160,22 @@ class TestTargetSSAAQuality:
         m = sphere_mesh_uv()
 
         def fake_refine(images, cond, strength, key):
-            # Content-dependent target: pull renders toward a fixed
-            # pattern while keeping most of the render (so the refine
-            # input's resolution actually matters to the result).
+            # Content-dependent target THROUGH the image_size bottleneck
+            # every real guidance applies (images are resized to the
+            # guidance's image_size before the VAE and the refined
+            # output comes back at that size — guidance/sds.py refine):
+            # without the bottleneck the two target-SSAA modes would
+            # differ by full-resolution resampling filters the real
+            # pipeline never sees.
             h = images.shape[1]
-            yy = jnp.linspace(0, 6.0, h)
+            small = jax.image.resize(
+                images, (images.shape[0], 32, 32, 3), "bilinear"
+            )
+            yy = jnp.linspace(0, 6.0, 32)
             pattern = 0.5 + 0.5 * jnp.sin(yy)[None, :, None, None]
-            pattern = jnp.broadcast_to(pattern, images.shape)
-            return 0.6 * images + 0.4 * pattern
+            pattern = jnp.broadcast_to(pattern, small.shape)
+            out = 0.6 * small + 0.4 * pattern
+            return jax.image.resize(out, images.shape, "bilinear")
 
         tr = Stage2Trainer(
             tiny_opt(target_render_jitter=jitter), m,

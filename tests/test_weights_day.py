@@ -132,6 +132,7 @@ def _base_opt(snapshot, outdir, save_path):
         warmup_rgb_loss=True,
         invert_bg_prob=0.5,
         mc_resolution=24,
+        density_thresh=0.1,  # 4 toy iters don't reach the default 1.0
         decimate_target=2000,
         texture_size=64,
         bake_resolution=64,

@@ -121,17 +121,19 @@ def bake_texture(
         viewcos = rot_normal[..., 2]
 
         mask = np.asarray(rast.mask) & (viewcos > viewcos_thresh)
-        if not mask.any():
-            continue
-        uv_sel = np.asarray(uvs)[mask]                      # [M, 2] in [0,1]
-        rgb_sel = rgb[mask]
-
+        # STATIC-shape scatter: all R^2 pixels go in with weight 0/1.
+        # Boolean-compressing to the M masked pixels gave every view a
+        # different [M] shape => a fresh jit compile of the whole mipmap
+        # scatter pipeline PER VIEW (26 remote compiles dominated the
+        # measured 55 s export on the tunneled TPU). The few-x extra
+        # scatter work is milliseconds.
         cur_albedo, cur_cnt = mipmap_linear_grid_put_2d(
             h, w,
-            jnp.asarray(uv_sel * 2.0 - 1.0),
-            jnp.asarray(rgb_sel),
+            jnp.asarray(uvs).reshape(-1, 2) * 2.0 - 1.0,
+            jnp.asarray(rgb).reshape(-1, 3),
             min_resolution=min_resolution,
             return_count=True,
+            weights=jnp.asarray(mask.reshape(-1), jnp.float32),
         )
         cur_albedo = np.asarray(cur_albedo)
         cur_cnt = np.asarray(cur_cnt)

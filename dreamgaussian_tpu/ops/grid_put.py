@@ -21,10 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bilinear_scatter(h: int, w: int, coords, values):
+def _bilinear_scatter(h: int, w: int, coords, values, weights=None):
     """Scatter values [N, C] at coords [N, 2] in [-1, 1] (xy order, align
     corners False-style mapping matching F.grid_sample semantics used by
-    the reference) -> (accum [H, W, C], count [H, W])."""
+    the reference) -> (accum [H, W, C], count [H, W]).
+
+    ``weights`` [N] scales every tap of a point (0 = exact no-op): lets
+    callers scatter a STATIC-shape point set with a mask instead of
+    boolean-compressing to a dynamic shape (which would recompile per
+    call — the texture bake hit one fresh compile per view this way).
+    """
     c = values.shape[-1]
     # The reference indexes grid[y, x] with coords given as (x, y) in
     # [-1, 1]: x -> W axis, y -> H axis.
@@ -40,6 +46,8 @@ def _bilinear_scatter(h: int, w: int, coords, values):
     for dy in (0, 1):
         for dx in (0, 1):
             wgt = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            if weights is not None:
+                wgt = wgt * weights
             xi = jnp.clip(x0 + dx, 0, w - 1)
             yi = jnp.clip(y0 + dy, 0, h - 1)
             accum = accum.at[yi, xi].add(values * wgt[:, None])
@@ -48,11 +56,12 @@ def _bilinear_scatter(h: int, w: int, coords, values):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "return_count"))
-def linear_grid_put_2d(h: int, w: int, coords, values, return_count=False):
+def linear_grid_put_2d(h: int, w: int, coords, values, return_count=False,
+                       weights=None):
     """Bilinear scatter. With return_count: RAW (sum [H,W,C], count [H,W])
     — the reference's accumulate-across-views contract
     (/root/reference/grid_put.py:83-128). Otherwise the normalized mean."""
-    accum, count = _bilinear_scatter(h, w, coords, values)
+    accum, count = _bilinear_scatter(h, w, coords, values, weights)
     if return_count:
         return accum, count
     return accum / jnp.maximum(count[..., None], 1e-10)
@@ -65,6 +74,7 @@ def mipmap_linear_grid_put_2d(
     values,
     min_resolution: int = 128,
     return_count: bool = False,
+    weights=None,
 ):
     """Bilinear scatter with coarse-to-fine hole filling
     (/root/reference/grid_put.py:129-159): texels unseen at full res
@@ -81,7 +91,7 @@ def mipmap_linear_grid_put_2d(
     cur_h, cur_w = h, w
     while min(cur_h, cur_w) > min_resolution:
         grid, cnt = linear_grid_put_2d(
-            cur_h, cur_w, coords, values, return_count=True
+            cur_h, cur_w, coords, values, return_count=True, weights=weights
         )
         if (cur_h, cur_w) != (h, w):
             grid = jax.image.resize(grid, (h, w, grid.shape[-1]), "bilinear")

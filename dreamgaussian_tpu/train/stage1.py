@@ -455,7 +455,19 @@ class Stage1Trainer:
         if self.overflow is not None:
             ov = int(np.max(np.asarray(self.overflow)))
             if ov > 0:
-                new = min(self.max_tiles * 2, 256)
+                # Scale the response to the shortfall: every max_tiles
+                # increment costs the whole run (the dup_map scatter and
+                # backward reduce are slot-count-bound), and a 3-duplicate
+                # overflow used to DOUBLE the budget (bench r5: +2 ms/iter
+                # at the 512 rung for the rest of training). Small
+                # overflows get +50% (the per-gaussian shortfall is
+                # bounded by the big-class budget's shape); big ones
+                # still double.
+                if ov >= self.capacity // 16:
+                    new = self.max_tiles * 2
+                else:
+                    new = max(self.max_tiles + 4, self.max_tiles * 3 // 2)
+                new = min(new, 256)
                 print(
                     f"[stage1] WARNING: binning overflow ({ov} duplicates "
                     f"dropped); escalating max_tiles {self.max_tiles} -> {new}"

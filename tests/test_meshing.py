@@ -231,6 +231,38 @@ class TestMeshIO:
         np.testing.assert_allclose(m2.v, m.v)
         np.testing.assert_array_equal(m2.f, m.f)
 
+    def test_front_dir_rotation(self, tmp_path):
+        """Mesh.load(front_dir=...) rotates the named direction to +z
+        with the reference's exact matrices
+        (/root/reference/mesh.py:72-94)."""
+        from dreamgaussian_tpu.meshing.mesh import Mesh
+
+        m = self._square_mesh()
+        m.auto_normal()
+        p = str(tmp_path / "m.obj")
+        m.write(p)
+
+        # A vertex at +x must land on +z when the front was +x.
+        m2 = Mesh.load(p, resize=False, front_dir="+x")
+        np.testing.assert_allclose(
+            m2.v, m.v @ np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]],
+                                 np.float32),
+            atol=1e-6,
+        )
+        # Suffix digit = extra 90-degree roll about z.
+        m3 = Mesh.load(p, resize=False, front_dir="+z1")
+        np.testing.assert_allclose(
+            m3.v, m.v @ np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]],
+                                 np.float32),
+            atol=1e-6,
+        )
+        # Normals rotate with the vertices.
+        assert m2.vn is not None
+        np.testing.assert_allclose(
+            np.linalg.norm(m2.vn, axis=1),
+            np.linalg.norm(m.vn, axis=1), atol=1e-5,
+        )
+
     def test_glb_writes_valid_header(self, tmp_path):
         m = self._square_mesh()
         m.auto_normal()

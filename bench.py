@@ -31,6 +31,7 @@ cache pays remote TPU compiles (minutes) on first run.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np

@@ -165,19 +165,30 @@ def _exclusive_rank(cov: jnp.ndarray) -> jnp.ndarray:
     return rank[:n].astype(cov.dtype)
 
 
+_ROW_LOOKUP_MAX_TABLE = 1024  # select-sum wins below this table width
+
+
 def _row_lookup(table: jnp.ndarray, col_idx: jnp.ndarray) -> jnp.ndarray:
-    """``table[i, col_idx[i, m]]`` as M select-sum passes (no gather).
+    """``table[i, col_idx[i, m]]`` — select-sum for narrow tables, gather
+    for wide ones.
 
     table: [N, C] int32; col_idx: [N, M] int32 in [0, C). TPU gathers
     run on the scalar core (~140M elem/s); M passes of [N, C] VPU
     select + lane-reduce are far cheaper for small M — PROVIDED XLA
     horizontally fuses the passes into one table scan (it does at the
     production shapes; when it declines, each pass re-reads the table at
-    HBM bandwidth, so cost is O(N*C*M) traffic — large tile grids, e.g.
-    1024^2 at tile 16 where C=4097, or escalated M would pay; r5 probes
-    measured 0.126 ms/pass UNFUSED at [32k, 257]. ADVICE r4.)
+    HBM bandwidth, so cost is O(N*C*M) traffic; r5 probes measured
+    0.126 ms/pass UNFUSED at [32k, 257]). The select-sum work grows
+    linearly with C while the gather's doesn't, so above
+    ``_ROW_LOOKUP_MAX_TABLE`` columns (e.g. 1024^2 at tile 16: C=4097)
+    the flat scalar-core gather is the safer scaling choice (ADVICE r4).
     """
-    c = table.shape[1]
+    n, c = table.shape
+    if c > _ROW_LOOKUP_MAX_TABLE:
+        rid = jnp.arange(n, dtype=jnp.int32)[:, None]
+        return jnp.take(
+            table.reshape(-1), rid * c + col_idx, mode="clip"
+        )
     cid = jnp.arange(c, dtype=jnp.int32)[None, :]
     cols = [
         jnp.sum(jnp.where(col_idx[:, mm:mm + 1] == cid, table, 0), axis=1)

@@ -205,6 +205,23 @@ class TestBinning:
             d = np.asarray(proj.depth)[real]
             assert (np.diff(d) >= -1e-6).all()
 
+    def test_row_lookup_paths_agree(self):
+        # The select-sum fast path (narrow tables) and the flat-gather
+        # fallback (wide tables, > _ROW_LOOKUP_MAX_TABLE cols) must be
+        # interchangeable (ADVICE r4: gate on table width).
+        rng = np.random.default_rng(3)
+        n, m = 64, 7
+        for c in (33, binning._ROW_LOOKUP_MAX_TABLE + 5):
+            table = jnp.asarray(
+                rng.integers(0, 10_000, size=(n, c)), jnp.int32
+            )
+            idx = jnp.asarray(rng.integers(0, c, size=(n, m)), jnp.int32)
+            got = np.asarray(binning._row_lookup(table, idx))
+            want = np.asarray(table)[
+                np.arange(n)[:, None], np.asarray(idx)
+            ]
+            np.testing.assert_array_equal(got, want)
+
 
 class TestOverflow:
     """Binning truncation is DETECTED (never silent) and the escalated
